@@ -1,0 +1,179 @@
+"""Trainable environment light: lat-long HDR texture + importance sampling.
+
+Re-implements the reference's environment stack in pure JAX:
+  - trainable H x W x 3 texture, init 0.5 (reference nerf/render_helper.py:126-156
+    create_trainable_env_rnd, scale=0, bias=0.5)
+  - world-dir -> lat-long lookup with the `ngp_dir` axis remap
+    (x,y,z) -> (-x, z, y) (reference utils/lightDi.slang:432, env_le :119-131)
+  - luminance x sin(theta) 2D distribution + CDF inversion sampling
+    (make_sampleable.slang:34-56, InfiniteAreaLight_Sample_Li
+    lightDi.slang:150-244, pdf_li :313-330) via vectorized searchsorted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math import luminance
+
+
+def init_envlight(h: int = 256, w: int = 512, bias: float = 0.5) -> jnp.ndarray:
+    return jnp.full((h, w, 3), bias, jnp.float32)
+
+
+def ngp_dir(d: jnp.ndarray) -> jnp.ndarray:
+    """World-axis remap before lat-long lookup (lightDi.slang:432)."""
+    return jnp.stack([-d[..., 0], d[..., 2], d[..., 1]], axis=-1)
+
+
+def dir_to_uv(d: jnp.ndarray) -> jnp.ndarray:
+    """Remapped dir -> (u, v); v=1 at +y pole (env_le convention)."""
+    d = jnp.clip(d, -1.0, 1.0)
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[..., 2], d[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    return jnp.stack([phi / (2 * jnp.pi), 1.0 - theta / jnp.pi], axis=-1)
+
+
+def uv_to_dir(uv: jnp.ndarray) -> jnp.ndarray:
+    """(u, v in env_le convention) -> remapped dir."""
+    phi = uv[..., 0] * 2 * jnp.pi
+    theta = (1.0 - uv[..., 1]) * jnp.pi
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    return jnp.stack([st * jnp.cos(phi), ct, st * jnp.sin(phi)], axis=-1)
+
+
+def _bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear texture lookup; u wraps, v clamps. tex [H,W,C], uv [...,2].
+    Texel centers at (x+0.5)/W; v indexes rows top-to-bottom with row 0 at
+    v=1 (matching eval_bi in utils/helper.slang)."""
+    H, W = tex.shape[0], tex.shape[1]
+    x = uv[..., 0] * W - 0.5
+    y = (1.0 - uv[..., 1]) * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def at(xi, yi):
+        xi = jnp.mod(xi, W)
+        yi = jnp.clip(yi, 0, H - 1)
+        return tex[yi, xi]
+
+    c00 = at(x0, y0)
+    c10 = at(x0 + 1, y0)
+    c01 = at(x0, y0 + 1)
+    c11 = at(x0 + 1, y0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+
+
+def eval_le(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
+    """Environment radiance for world directions [..., 3]."""
+    d = ngp_dir(dir_world)
+    uv = dir_to_uv(d)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 0.0))
+    le = _bilinear(tex, uv)
+    return jnp.where(sin_theta[..., None] < 1e-4, 0.0, le)
+
+
+class EnvDistribution(NamedTuple):
+    pdf2d: jnp.ndarray       # [H, W] conditional pdf over u per row (normalized, mean 1)
+    row_cdf: jnp.ndarray     # [H, W+1]
+    mpdf: jnp.ndarray        # [H] marginal pdf over v (mean 1)
+    mcdf: jnp.ndarray        # [H+1]
+
+
+def build_distribution(tex: jnp.ndarray) -> EnvDistribution:
+    """Luminance x sin(theta) 2D distribution (make_sampleable + torch cumsum
+    glue, reference GenerateLightTiles.py:4-29)."""
+    H, W = tex.shape[0], tex.shape[1]
+    v = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+    # texel-center radiance: row h at v coordinate (env_le-style v measured
+    # from the bottom), weight = luminance * sin(pi * v_row)
+    w_lum = luminance(tex)  # tex row 0 corresponds to v ~= 1
+    sin_t = jnp.sin(jnp.pi * v)[::-1]  # row 0 (top) has v close to 1
+    weight = w_lum * sin_t[:, None] + 1e-10  # [H, W]
+
+    row_sum = jnp.sum(weight, axis=1)  # [H]
+    cond_pdf = weight / row_sum[:, None] * W  # pdf in u units (integral 1 over [0,1])
+    row_cdf = jnp.concatenate(
+        [jnp.zeros((H, 1)), jnp.cumsum(weight / row_sum[:, None], axis=1)], axis=1
+    )
+
+    total = jnp.sum(row_sum)
+    mpdf = row_sum / total * H
+    mcdf = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(row_sum / total)])
+    return EnvDistribution(cond_pdf, row_cdf, mpdf, mcdf)
+
+
+def sample_li(
+    tex: jnp.ndarray, dist: EnvDistribution, rnd: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Importance-sample the environment. rnd [...,2] in [0,1).
+
+    Returns (dir_world [...,3], Le [...,3], pdf_solid_angle [...]).
+    """
+    H, W = tex.shape[0], tex.shape[1]
+    u1, u2 = rnd[..., 0], rnd[..., 1]
+
+    row = jnp.clip(jnp.searchsorted(dist.mcdf, u2, side="right") - 1, 0, H - 1)
+    # within-row残量 -> v offset
+    seg_lo = dist.mcdf[row]
+    seg_w = dist.mpdf[row] / H
+    fv = jnp.clip((u2 - seg_lo) / jnp.maximum(seg_w, 1e-12), 0.0, 1.0)
+
+    def row_search(r, u):
+        return jnp.clip(jnp.searchsorted(dist.row_cdf[r], u, side="right") - 1, 0, W - 1)
+
+    col = jax.vmap(row_search)(row.reshape(-1), u1.reshape(-1)).reshape(row.shape)
+    cel_lo = jnp.take_along_axis(
+        dist.row_cdf.reshape(H, W + 1)[row.reshape(-1)], col.reshape(-1, 1), axis=1
+    ).reshape(row.shape)
+    cel_w = dist.pdf2d[row.reshape(-1), col.reshape(-1)].reshape(row.shape) / W
+    fu = jnp.clip((u1 - cel_lo) / jnp.maximum(cel_w, 1e-12), 0.0, 1.0)
+
+    # texture-space (u, v_tex measured top-down); env v = 1 - v_tex
+    u = (col + fu) / W
+    v_tex = (row + fv) / H
+    uv = jnp.stack([u, 1.0 - v_tex], axis=-1)
+
+    d_remap = uv_to_dir(uv)
+    # invert ngp_dir: remap (x,y,z)->(-x,z,y) is an involution composed with sign:
+    # world = (-dx, dz, dy)
+    dir_world = jnp.stack([-d_remap[..., 0], d_remap[..., 2], d_remap[..., 1]], axis=-1)
+
+    theta = (1.0 - uv[..., 1]) * jnp.pi
+    sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf2d = dist.pdf2d[row.reshape(-1), col.reshape(-1)].reshape(row.shape) * dist.mpdf[row]
+    pdf = pdf2d / (2.0 * jnp.pi * jnp.pi * sin_theta)
+
+    le = _bilinear(tex, uv)
+    return dir_world, le, pdf
+
+
+def pdf_li(dist: EnvDistribution, dir_world: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of sampling a world direction
+    (reference InfiniteAreaLight_pdf_li, lightDi.slang:313-330)."""
+    H, W = dist.pdf2d.shape
+    d = ngp_dir(dir_world)
+    uv = dir_to_uv(d)
+    theta = (1.0 - uv[..., 1]) * jnp.pi
+    sin_theta = jnp.sin(theta)
+    col = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
+    row = jnp.clip(((1.0 - uv[..., 1]) * H).astype(jnp.int32), 0, H - 1)
+    pdf2d = dist.pdf2d[row, col] * dist.mpdf[row]
+    pdf = pdf2d / (2.0 * jnp.pi * jnp.pi * jnp.maximum(sin_theta, 1e-6))
+    return jnp.where(jnp.abs(sin_theta) < 1e-4, 0.0, pdf)
+
+
+def generate_image(tex: jnp.ndarray) -> jnp.ndarray:
+    """The raw texture is the lat-long image (reference EnvironmentLight
+    .generate_image via dr.texture)."""
+    return tex

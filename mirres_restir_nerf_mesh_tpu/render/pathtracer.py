@@ -1,0 +1,293 @@
+"""Wavefront path tracer over fixed-shape pixel batches (stage 1), pure JAX.
+
+Re-implements the reference's Slang path-tracing stack
+(`nerf/ScreenSpaceReSTIR/FinalShading.slang:111-1009`:
+process_new_dir_for_pt + process_path_tracing_divided_no_grad) as a
+TPU-native wavefront: every pass is a dense op over [N] pixels with validity
+masks — no megakernel divergence, no Python<->GPU ping-pong per bounce.
+
+Gradient topology matches the reference exactly (SURVEY.md §7 hard-part 5):
+  - direct shading (shade_direct) is differentiable wrt kd/ks/normal/envmap
+    (FinalShading.slang process_FinalShading + EvaluateFinalSamples_di)
+  - indirect bounces are fully stop-gradient
+    (process_path_tracing_divided_no_grad; renderer_restir.py:411-453)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import envlight
+from ..ops.bvh import BVH, intersect_bvh, occluded
+from ..utils.math import luminance, safe_normalize
+from . import brdf
+
+
+class LightSample(NamedTuple):
+    """A resolved direct-light sample per pixel (reference FinalSample)."""
+
+    dir: jnp.ndarray       # [N,3] world dir toward light
+    distance: jnp.ndarray  # [N] (>0 valid; envmap = large)
+    Li: jnp.ndarray        # [N,3] radiance * inv_pdf * visibility
+
+
+def shade_direct(
+    light: LightSample,
+    mask: jnp.ndarray,        # [N] surface hit mask
+    normal: jnp.ndarray,      # [N,3] shading normal (differentiable)
+    view_dir: jnp.ndarray,    # [N,3] camera->surface unit dir
+    kd: jnp.ndarray,          # [N,3]
+    roughness: jnp.ndarray,   # [N]
+    metallic: jnp.ndarray,    # [N]
+    env_bg: jnp.ndarray,      # [N,3] environment radiance along view (misses)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Differentiable final shading (FinalShading.slang:12-109).
+
+    Returns (color, diff_light, spec_light):
+      color      = kd*(1-metallic)*diff_light + spec_light  (hits)
+                 = env_bg                                   (misses)
+      diff_light = (NdotL/pi) * Li
+      spec_light = GGX(spec_albedo) * Li
+    """
+    w_view = brdf.to_local(-view_dir, normal)
+    w_light = brdf.to_local(light.dir, normal)
+    alpha = brdf.alpha_from_roughness(roughness)
+    spec_alb = brdf.spec_albedo_from(kd, metallic)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        kd, metallic, jnp.sum(-view_dir * normal, axis=-1)
+    )
+
+    has_light = light.distance > 0
+    dval = brdf.diffuse_light(w_view, w_light)[..., None] * light.Li
+    dval = jnp.where((has_light & (p_diff > 0))[:, None], dval, 0.0)
+    sval = brdf.specular_eval(w_view, w_light, spec_alb, alpha) * light.Li
+    sval = jnp.where((has_light & (p_spec > 0))[:, None], sval, 0.0)
+
+    color = kd * (1.0 - metallic[:, None]) * dval + sval
+    color = jnp.where(mask[:, None], color, env_bg)
+    dval = jnp.where(mask[:, None], dval, 0.0)
+    sval = jnp.where(mask[:, None], sval, 0.0)
+    return color, dval, sval
+
+
+def sample_direct_mis(
+    key: jax.Array,
+    position: jnp.ndarray,
+    normal: jnp.ndarray,
+    view_dir: jnp.ndarray,
+    mask: jnp.ndarray,
+    kd: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+    env_tex: jnp.ndarray,
+    env_dist: envlight.EnvDistribution,
+    bvh: BVH,
+) -> LightSample:
+    """One-sample NEE+BRDF MIS direct-light sample per pixel (the no-ReSTIR
+    baseline; ReSTIR's initial resampling replaces this with 32+1 RIS).
+
+    Li is pre-divided by pdf and multiplied by visibility and the MIS weight,
+    so shade_direct(Li) is an unbiased estimator of the direct integral.
+    """
+    N = position.shape[0]
+    k_env, k_brdf, k_pick = jax.random.split(key, 3)
+
+    alpha = brdf.alpha_from_roughness(roughness)
+    w_view = brdf.to_local(-view_dir, normal)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        kd, metallic, jnp.sum(-view_dir * normal, axis=-1)
+    )
+
+    # --- strategy A: envmap importance sample ---
+    rnd = jax.random.uniform(k_env, (N, 2))
+    ldir, le, lpdf = envlight.sample_li(env_tex, env_dist, rnd)
+    w_l = brdf.to_local(ldir, normal)
+    bpdf_at_l = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
+    mis_l = lpdf / jnp.maximum(lpdf + bpdf_at_l, 1e-12)
+    vis_l = ~occluded(bvh, position + normal * 1e-4, ldir, 1e9)
+    Li_env = le * (mis_l * vis_l / jnp.maximum(lpdf, 1e-12))[:, None]
+    ok_env = (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
+
+    # --- strategy B: BRDF sample toward env ---
+    s = brdf.brdf_sample(k_brdf, w_view, kd, metallic, alpha)
+    bdir = brdf.to_global(s.w_light_l, normal)
+    lpdf_at_b = envlight.pdf_li(env_dist, bdir)
+    mis_b = s.pdf / jnp.maximum(s.pdf + lpdf_at_b, 1e-12)
+    vis_b = ~occluded(bvh, position + normal * 1e-4, bdir, 1e9)
+    le_b = envlight.eval_le(env_tex, bdir)
+    Li_brdf = le_b * (mis_b * vis_b / jnp.maximum(s.pdf, 1e-12))[:, None]
+    ok_brdf = s.valid
+
+    # combine: both strategies contribute; we fold them into one LightSample
+    # by picking one with probability 1/2 and doubling (keeps the per-pixel
+    # sample layout the ReSTIR reservoirs expect, still unbiased)
+    pick_env = jax.random.uniform(k_pick, (N,)) < 0.5
+    dirs = jnp.where(pick_env[:, None], ldir, bdir)
+    Li = jnp.where(pick_env[:, None], Li_env, Li_brdf) * 2.0
+    ok = jnp.where(pick_env, ok_env, ok_brdf) & mask
+    return LightSample(
+        dir=dirs,
+        distance=jnp.where(ok, 1e9, 0.0),
+        Li=jnp.where(ok[:, None], Li, 0.0),
+    )
+
+
+class BounceState(NamedTuple):
+    origin: jnp.ndarray       # [N,3]
+    direction: jnp.ndarray    # [N,3]
+    throughput: jnp.ndarray   # [N,3]
+    alive: jnp.ndarray        # [N] bool
+    specular: jnp.ndarray     # [N] bool (last bounce was sharp specular)
+
+
+def spawn_bounce(
+    key: jax.Array,
+    gb_mask: jnp.ndarray,
+    position: jnp.ndarray,
+    normal: jnp.ndarray,
+    view_dir: jnp.ndarray,
+    kd: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+) -> BounceState:
+    """Sample the continuation ray at the primary hit
+    (process_new_dir_for_pt, FinalShading.slang:111-265). No gradients."""
+    sg = jax.lax.stop_gradient
+    normal = sg(normal)
+    position = sg(position)
+    kd, roughness, metallic = sg(kd), sg(roughness), sg(metallic)
+
+    w_view = brdf.to_local(-view_dir, normal)
+    alpha = brdf.alpha_from_roughness(roughness)
+    s = brdf.brdf_sample(key, w_view, kd, metallic, alpha)
+    d = brdf.to_global(s.w_light_l, normal)
+    alive = gb_mask & s.valid
+    return BounceState(
+        origin=position + normal * 1e-4,
+        direction=d,
+        throughput=jnp.where(alive[:, None], s.weight, 0.0),
+        alive=alive,
+        specular=s.specular_bounce,
+    )
+
+
+def trace_bounce(
+    key: jax.Array,
+    state: BounceState,
+    bvh: BVH,
+    verts: jnp.ndarray,
+    tris: jnp.ndarray,
+    material_fn,
+    env_tex: jnp.ndarray,
+    env_dist: envlight.EnvDistribution,
+) -> Tuple[jnp.ndarray, BounceState, jnp.ndarray]:
+    """One indirect bounce (process_path_tracing_divided_no_grad,
+    FinalShading.slang:640-1009): trace, NEE at hit with MIS, escape adds
+    env Le with MIS weight. Returns (radiance contribution [N,3], next state,
+    hit positions for material re-query diagnostics)."""
+    sg = jax.lax.stop_gradient
+    k_nee, k_next = jax.random.split(key)
+
+    hit = intersect_bvh(bvh, state.origin, state.direction)
+    hit_mask = (hit.prim >= 0) & state.alive
+    escape = state.alive & (hit.prim < 0)
+
+    # escaped rays pick up the environment (the MIS weight vs light sampling
+    # at the previous vertex is already folded into state.throughput)
+    le_escape = envlight.eval_le(env_tex, state.direction)
+    escape_contrib = jnp.where(escape[:, None], state.throughput * le_escape, 0.0)
+
+    # surface attributes at the hit
+    face = jnp.where(hit_mask, hit.prim, 0)
+    i0, i1, i2 = tris[face, 0], tris[face, 1], tris[face, 2]
+    w = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+    pos = w[:, 0:1] * verts[i0] + w[:, 1:2] * verts[i1] + w[:, 2:3] * verts[i2]
+    nrm = safe_normalize(hit.normal)
+    # face the incoming ray
+    nrm = jnp.where(
+        jnp.sum(nrm * state.direction, axis=-1, keepdims=True) > 0, -nrm, nrm
+    )
+    pos, nrm = sg(pos), sg(nrm)
+
+    mat = sg(material_fn(pos))  # [N,6]
+    kd, rough, metal = mat[:, 0:3], mat[:, 4], mat[:, 5]
+    alpha = brdf.alpha_from_roughness(rough)
+    w_view = brdf.to_local(-state.direction, nrm)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        kd, metal, jnp.sum(-state.direction * nrm, axis=-1)
+    )
+
+    # --- NEE at the bounce hit (env sample + shadow ray + MIS) ---
+    rnd = jax.random.uniform(k_nee, (pos.shape[0], 2))
+    ldir, le, lpdf = envlight.sample_li(env_tex, env_dist, rnd)
+    w_l = brdf.to_local(ldir, nrm)
+    f = brdf.brdf_eval(w_view, w_l, kd, metal, alpha, p_diff, p_spec)
+    bpdf = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
+    mis = lpdf / jnp.maximum(lpdf + bpdf, 1e-12)
+    vis = ~occluded(bvh, pos + nrm * 1e-4, ldir, 1e9)
+    nee_ok = hit_mask & (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
+    nee = state.throughput * f * le * (mis * vis / jnp.maximum(lpdf, 1e-12))[:, None]
+    nee_contrib = jnp.where(nee_ok[:, None], nee, 0.0)
+
+    # --- continuation ---
+    s = brdf.brdf_sample(k_next, w_view, kd, metal, alpha)
+    ndir = brdf.to_global(s.w_light_l, nrm)
+    # MIS weight for the *next* segment's potential env hit
+    lpdf_next = envlight.pdf_li(env_dist, ndir)
+    mis_next = jnp.where(
+        s.specular_bounce, 1.0, s.pdf / jnp.maximum(s.pdf + lpdf_next, 1e-12)
+    )
+    alive = hit_mask & s.valid
+    next_state = BounceState(
+        origin=pos + nrm * 1e-4,
+        direction=ndir,
+        throughput=jnp.where(
+            alive[:, None], state.throughput * s.weight * mis_next[:, None], 0.0
+        ),
+        alive=alive,
+        specular=s.specular_bounce,
+    )
+    return sg(escape_contrib), sg(nee_contrib), next_state, pos
+
+
+def render_indirect(
+    key: jax.Array,
+    gb_mask: jnp.ndarray,
+    position: jnp.ndarray,
+    normal: jnp.ndarray,
+    view_dir: jnp.ndarray,
+    kd: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+    bvh: BVH,
+    verts: jnp.ndarray,
+    tris: jnp.ndarray,
+    material_fn,
+    env_tex: jnp.ndarray,
+    env_dist: envlight.EnvDistribution,
+    bounces: int = 2,
+) -> jnp.ndarray:
+    """Total indirect radiance at the primary hits, no gradients
+    (2 extra bounces by default, reference renderer_restir.py:386-453)."""
+    sg = jax.lax.stop_gradient
+    k0, key = jax.random.split(key)
+    state = spawn_bounce(k0, gb_mask, position, normal, view_dir, kd, roughness, metallic)
+
+    total = jnp.zeros_like(position)
+    env_tex_ng = sg(env_tex)
+    for b in range(bounces):
+        key, kb = jax.random.split(key)
+        escape_c, nee_c, state, _ = trace_bounce(
+            kb, state, bvh, verts, tris, material_fn, env_tex_ng, env_dist
+        )
+        # segment-0 escapes are direct light at the primary hit — already
+        # covered by the DI estimator's BRDF strategy; dropping them here
+        # avoids double counting (matches the reference where the indirect
+        # pass only shades rays that found another surface)
+        if b > 0:
+            total = total + escape_c
+        total = total + nee_c
+    return sg(total)

@@ -1,0 +1,212 @@
+"""Stage-0 trainer: radiance-field optimization (jit-compiled step + host loop).
+
+Re-implements the reference Trainer's stage-0 path (`nerf/utils.py:709-1136,
+1519-1620`): Adam(eps=1e-15) with warmup+exponential LR, EMA(0.95) on params,
+rgb MSE + mask + entropy + eikonal + hash-TV losses, occupancy-grid EMA update
+every `update_extra_interval` steps.  All three reference AMP/GradScaler
+mechanics are unnecessary on TPU (bfloat16 has fp32 range); params stay fp32.
+
+Multi-chip: the train step is data-parallel over rays — batch arrays are
+sharded over the 'data' mesh axis and the gradient psum is inserted by XLA
+when jitted with sharded inputs (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import nerf as nerf_model
+from ..ops.hashgrid import hashgrid_tv_loss
+from ..ops.occupancy import OccupancyState, init_occupancy, update_occupancy
+from ..render.volume import render_rays
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    occ: OccupancyState
+    step: jnp.ndarray
+
+
+def lr_schedule(cfg: Config):
+    """Warmup to 500 then exponential decay to 0.1x (reference main.py:284)."""
+    iters = cfg.iters
+
+    def fn(step):
+        warm = 0.01 + 0.99 * (step / 500.0)
+        decay = 0.1 ** ((step - 500.0) / max(iters - 500.0, 1.0))
+        return jnp.where(step <= 500, warm, decay)
+
+    return fn
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    sched = lr_schedule(cfg)
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+        optax.scale_by_schedule(lambda s: -cfg.lr * sched(s)),
+    )
+
+
+def init_state(key: jax.Array, cfg: Config, spec: nerf_model.NeRFSpec) -> TrainState:
+    params = nerf_model.init_nerf(key, spec)
+    opt = make_optimizer(cfg)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        ema_params=params,
+        occ=init_occupancy(cfg.cascade, cfg.grid_size),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _aabb(cfg: Config) -> jnp.ndarray:
+    b = cfg.bound
+    return jnp.array([-b, -b, -b, b, b, b], jnp.float32)
+
+
+def stage0_loss(
+    params: Any,
+    occ: jnp.ndarray,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    cfg: Config,
+    spec: nerf_model.NeRFSpec,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    max_level = None
+    if cfg.progressive_level:
+        ratio = jnp.minimum(1.0, step.astype(jnp.float32) / (0.5 * cfg.iters))
+        max_level = 4 + (12.0 * ratio).astype(jnp.int32)
+
+    cos_anneal = 1.0
+    if cfg.sdf:
+        cos_anneal = jnp.minimum(1.0, step.astype(jnp.float32) / (0.5 * cfg.iters))
+
+    out = render_rays(
+        params, occ, batch["rays_o"], batch["rays_d"], spec, _aabb(cfg),
+        K=cfg.samples_per_ray, max_steps=cfg.max_steps, dt_gamma=cfg.dt_gamma,
+        min_near=cfg.min_near, bg_color=batch["bg_color"], perturb_key=key,
+        contract=cfg.contract, max_level=max_level, cos_anneal_ratio=cos_anneal,
+        cam_near_far=batch.get("cam_near_far"),
+    )
+
+    pred = out["image"]
+    gt = batch["pixels"]
+    loss = cfg.lambda_rgb * jnp.mean((pred - gt) ** 2)
+
+    if cfg.lambda_mask > 0:
+        loss = loss + cfg.lambda_mask * jnp.mean((out["weights_sum"] - batch["alpha"]) ** 2)
+
+    if cfg.lambda_entropy > 0:
+        w = jnp.clip(out["weights"], 1e-5, 1 - 1e-5)
+        ent = -w * jnp.log2(w) - (1 - w) * jnp.log2(1 - w)
+        w2 = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
+        ent2 = -w2 * jnp.log2(w2) - (1 - w2) * jnp.log2(1 - w2)
+        loss = loss + cfg.lambda_entropy * (jnp.mean(ent) + jnp.mean(ent2))
+
+    if cfg.sdf and cfg.lambda_eikonal > 0:
+        nrm = out["normal"]
+        loss = loss + cfg.lambda_eikonal * jnp.mean(
+            (jnp.linalg.norm(nrm, axis=-1) - 1.0) ** 2
+        )
+
+    if "depth" in batch and cfg.lambda_depth > 0:
+        lam = cfg.lambda_depth * jnp.minimum(1.0, step.astype(jnp.float32) / 1000.0)
+        mask = batch["depth"] > 0
+        loss = loss + lam * jnp.mean(mask * (out["depth"] - batch["depth"]) ** 2)
+
+    if cfg.lambda_tv > 0:
+        # TV on hash grid at the marched sample locations (reference
+        # utils.py:1138-1161 post_train_step -> encoder.grad_total_variation)
+        pts = jax.lax.stop_gradient(out["xyzs"].reshape(-1, 3))
+        loss = loss + cfg.lambda_tv * hashgrid_tv_loss(params["encoder"], pts, spec.grid, spec.bound)
+
+    aux = {
+        "loss": loss,
+        "psnr": -10.0 * jnp.log10(jnp.maximum(jnp.mean((pred - gt) ** 2), 1e-12)),
+        "num_points": out["num_points"],
+    }
+    return loss, aux
+
+
+def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler):
+    """Returns jitted (state, key) -> (state, aux). `sampler` is a
+    RayDataset-like object whose .sample(key, n) is traceable."""
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def train_step(state: TrainState, key: jax.Array):
+        k_batch, k_perturb = jax.random.split(key)
+        batch = sampler.sample(k_batch, cfg.num_rays)
+
+        grads, aux = jax.grad(stage0_loss, has_aux=True)(
+            state.params, state.occ.occ, batch, k_perturb, cfg, spec, state.step
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: 0.95 * e + 0.05 * p, state.ema_params, params
+        )
+        return TrainState(params, opt_state, ema, state.occ, state.step + 1), aux
+
+    return train_step
+
+
+def make_occ_update(cfg: Config, spec: nerf_model.NeRFSpec):
+    @jax.jit
+    def occ_update(state: TrainState, key: jax.Array) -> TrainState:
+        def density_fn(pts):
+            sig = nerf_model.density(state.params, pts, spec)["sigma"]
+            if cfg.sdf:
+                inv_s = jnp.clip(jnp.exp(state.params["variance"] * 10.0), 1e-6, 1e6)
+                sig = jax.nn.sigmoid(-sig * inv_s) * inv_s
+            return sig
+
+        occ = update_occupancy(
+            state.occ, density_fn, key, cfg.bound, cfg.density_thresh
+        )
+        return state._replace(occ=occ)
+
+    return occ_update
+
+
+def make_render_fn(cfg: Config, spec: nerf_model.NeRFSpec, use_ema: bool = True):
+    """Jitted full-frame renderer for eval (chunked by caller)."""
+
+    @jax.jit
+    def render_chunk(state: TrainState, rays_o, rays_d):
+        params = state.ema_params if use_ema else state.params
+        out = render_rays(
+            params, state.occ.occ, rays_o, rays_d, spec, _aabb(cfg),
+            K=cfg.samples_per_ray_infer, max_steps=cfg.max_steps,
+            dt_gamma=cfg.dt_gamma, min_near=cfg.min_near, contract=cfg.contract,
+        )
+        return out["image"], out["depth"], out["weights_sum"]
+
+    return render_chunk
+
+
+def render_frame(state, render_chunk, rays_o, rays_d, H: int, W: int, chunk: int = 8192):
+    """Host-side chunked frame render -> (image [H,W,3], depth [H,W])."""
+    import numpy as np
+
+    n = rays_o.shape[0]
+    imgs, deps = [], []
+    pad = (-n) % chunk
+    ro = jnp.pad(rays_o, ((0, pad), (0, 0)))
+    rd = jnp.pad(rays_d, ((0, pad), (0, 0)))
+    for s in range(0, n + pad, chunk):
+        img, dep, _ = render_chunk(state, ro[s : s + chunk], rd[s : s + chunk])
+        imgs.append(np.asarray(img))
+        deps.append(np.asarray(dep))
+    image = np.concatenate(imgs)[:n].reshape(H, W, 3)
+    depth = np.concatenate(deps)[:n].reshape(H, W)
+    return image, depth
