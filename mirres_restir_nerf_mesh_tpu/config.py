@@ -78,6 +78,9 @@ class Config:
     # replacement for CUDA dynamic point allocation, SURVEY.md §7 hard-part 1)
     samples_per_ray: int = 64     # K: compacted samples per ray (train)
     samples_per_ray_infer: int = 96
+    # unbiased one-corner hash-grid estimator on the training path (8x fewer
+    # memory transactions on TPU; eval always uses exact trilinear)
+    stochastic_interp: bool = True
 
     # --- stage 0 regularizations ---
     lambda_density: float = 0.0

@@ -94,12 +94,16 @@ def _mlp(ws, h, dtype):
 
 
 def density(params: Dict[str, Any], x: jnp.ndarray, spec: NeRFSpec,
-            max_level: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+            max_level: Optional[jnp.ndarray] = None,
+            stochastic_key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
     """x: [N,3] in [-bound, bound] -> {'sigma': [N], 'geo_feat': [N,15]}.
 
     In sdf mode, 'sigma' is the raw SDF value (reference network.py:177-193).
+    stochastic_key enables the unbiased one-corner hash-grid estimator
+    (training fast path on TPU).
     """
-    h = hashgrid_encode(params["encoder"], x, spec.grid, bound=spec.bound, max_level=max_level)
+    h = hashgrid_encode(params["encoder"], x, spec.grid, bound=spec.bound,
+                        max_level=max_level, stochastic_key=stochastic_key)
     h = _mlp(params["sigma_net"], h, spec.compute_dtype)
     raw = h[..., 0]
     sigma = raw if spec.sdf else trunc_exp(raw)
@@ -115,9 +119,10 @@ def color(params: Dict[str, Any], geo_feat: jnp.ndarray, d: jnp.ndarray, spec: N
 
 
 def forward(params: Dict[str, Any], x: jnp.ndarray, d: jnp.ndarray, spec: NeRFSpec,
-            max_level: Optional[jnp.ndarray] = None):
+            max_level: Optional[jnp.ndarray] = None,
+            stochastic_key: Optional[jax.Array] = None):
     """Full field eval: sigma [N], rgb [N,3] (reference network.py:146-174)."""
-    res = density(params, x, spec, max_level=max_level)
+    res = density(params, x, spec, max_level=max_level, stochastic_key=stochastic_key)
     rgb = color(params, res["geo_feat"], d, spec)
     return res["sigma"], rgb
 

@@ -137,35 +137,94 @@ def _level_lookup(
     return jnp.sum(vals * w[..., None], axis=1)  # [N,C]
 
 
+def _level_lookup_stochastic(
+    embeddings: jnp.ndarray,
+    x01: jnp.ndarray,
+    u: jnp.ndarray,
+    scale: float,
+    resolution: int,
+    offset: int,
+    size: int,
+    dense: bool,
+) -> jnp.ndarray:
+    """Unbiased one-corner estimator of trilinear interpolation.
+
+    Picks corner bit b_d = (u_d < frac_d) per axis, so P(corner) equals its
+    trilinear weight and E[feat[corner]] == trilinear(feats).  One gather per
+    point per level instead of eight — the TPU-native answer to the ~15ns
+    hard cost of every random table-row access (XLA gather), trading variance
+    (absorbed by SGD) for an 8x cut in memory transactions.
+    """
+    pos = x01 * scale + 0.5
+    pg = jnp.floor(pos)
+    frac = pos - pg
+    corner = (u < frac).astype(jnp.uint32)
+    pgc = pg.astype(jnp.uint32) + corner  # [N,3]
+
+    if dense:
+        stride = resolution + 1
+        idx = (
+            pgc[..., 0]
+            + pgc[..., 1] * jnp.uint32(stride)
+            + pgc[..., 2] * jnp.uint32(stride * stride)
+        )
+    else:
+        primes = jnp.asarray(_PRIMES)
+        idx = (pgc[..., 0] * primes[0]) ^ (pgc[..., 1] * primes[1]) ^ (pgc[..., 2] * primes[2])
+    idx = (idx % jnp.uint32(size)).astype(jnp.int32)
+    return jnp.take(embeddings, jnp.int32(offset) + idx, axis=0)
+
+
 def hashgrid_encode(
     embeddings: jnp.ndarray,
     x: jnp.ndarray,
     spec: HashGridSpec,
     bound: float = 1.0,
     max_level: Optional[jnp.ndarray] = None,
+    stochastic_key: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Encode positions x in [-bound, bound]^3 -> [N, num_levels*level_dim].
 
     max_level: optional traced scalar; levels >= max_level output zeros
     (progressive-level training, reference grid.py forward max_level).
+    stochastic_key: if given, use the unbiased one-corner estimator (training
+    fast path); None = exact trilinear interpolation (eval / parity path).
     """
     x01 = (x + bound) / (2.0 * bound)
     x01 = jnp.clip(x01, 0.0, 1.0)
     offsets, scales, resolutions, dense = spec.level_meta()
     smoothstep = spec.interpolation == "smoothstep"
 
+    u = None
+    if stochastic_key is not None:
+        # one uniform triple per point, shared across levels (the per-level
+        # fracs differ, so corners decorrelate across levels anyway)
+        u = jax.random.uniform(stochastic_key, x01.shape)
+
     outs = []
     for lvl in range(spec.num_levels):
-        feat = _level_lookup(
-            embeddings,
-            x01,
-            float(scales[lvl]),
-            int(resolutions[lvl]),
-            int(offsets[lvl]),
-            int(offsets[lvl + 1] - offsets[lvl]),
-            bool(dense[lvl]),
-            smoothstep,
-        )
+        if stochastic_key is not None:
+            feat = _level_lookup_stochastic(
+                embeddings,
+                x01,
+                u,
+                float(scales[lvl]),
+                int(resolutions[lvl]),
+                int(offsets[lvl]),
+                int(offsets[lvl + 1] - offsets[lvl]),
+                bool(dense[lvl]),
+            )
+        else:
+            feat = _level_lookup(
+                embeddings,
+                x01,
+                float(scales[lvl]),
+                int(resolutions[lvl]),
+                int(offsets[lvl]),
+                int(offsets[lvl + 1] - offsets[lvl]),
+                bool(dense[lvl]),
+                smoothstep,
+            )
         if max_level is not None:
             feat = feat * (lvl < max_level).astype(feat.dtype)
         outs.append(feat)

@@ -155,25 +155,26 @@ def march_rays(
     mask = inside & occ_mask  # [N,S]
 
     # --- stride compaction: pick every stride-th occupied candidate ---
+    # Implemented with top_k + take_along_axis (within-row lane ops) instead
+    # of a 2D scatter: random scatters cost ~50ns/element on TPU while row-
+    # local gathers vectorize on the VPU.
     n_occ = jnp.sum(mask, axis=-1)                      # [N]
     stride = jnp.maximum((n_occ + K - 1) // K, 1)       # [N]
     rank = jnp.cumsum(mask, axis=-1) - 1                # occupied rank per candidate
     sel = mask & (rank % stride[:, None] == 0)
-    out_idx = jnp.where(sel, rank // stride[:, None], K)  # K = drop slot
 
-    rows = jnp.broadcast_to(jnp.arange(N)[:, None], (N, S))
+    steps_iota = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
+    keys = jnp.where(sel, steps_iota, S + 1)            # selected first, in order
+    neg_top, pos = jax.lax.top_k(-keys, K)              # positions of first K selected
+    pos = jnp.clip(pos, 0, S - 1)
+    # top_k(-keys) returns ascending keys (selected candidates front-to-back)
+    valid = jnp.take_along_axis(sel, pos, axis=1)
+    validf = valid.astype(ts.dtype)
+    ts_out = jnp.take_along_axis(ts, pos, axis=1) * validf
 
-    def scatter(src):
-        zero = jnp.zeros((), src.dtype)
-        buf = jnp.zeros((N, K + 1), dtype=src.dtype)
-        buf = buf.at[rows, out_idx].set(jnp.where(sel, src, zero), mode="drop")
-        return buf[:, :K]
-
-    ts_out = scatter(ts)
-    valid = scatter(sel).astype(bool)
-    dts_out = (dts[:, :1] * stride[:, None].astype(dts.dtype)) * valid.astype(dts.dtype)
+    dts_out = (dts[:, :1] * stride[:, None].astype(dts.dtype)) * validf
     if dt_gamma != 0.0:
-        dts_out = scatter(dts) * stride[:, None].astype(dts.dtype)
+        dts_out = jnp.take_along_axis(dts, pos, axis=1) * stride[:, None].astype(dts.dtype) * validf
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts_out[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)

@@ -37,6 +37,7 @@ def render_rays(
     max_level: Optional[jnp.ndarray] = None,
     cos_anneal_ratio: float = 1.0,
     cam_near_far: Optional[jnp.ndarray] = None,
+    stochastic_key: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render N rays. Returns image [N,3], depth [N], weights_sum [N], plus
     training extras (weights, xyzs, valid, sigmas, normals in sdf mode)."""
@@ -71,7 +72,9 @@ def render_rays(
         results["sdf"] = sdf.reshape(N, Kk)
         alpha_mode = True
     else:
-        sigmas, rgbs = nerf_model.forward(params, pts, dirs, spec, max_level=max_level)
+        sigmas, rgbs = nerf_model.forward(
+            params, pts, dirs, spec, max_level=max_level, stochastic_key=stochastic_key
+        )
         sig_for_comp = sigmas.reshape(N, Kk)
         alpha_mode = False
 

@@ -90,12 +90,14 @@ def stage0_loss(
     if cfg.sdf:
         cos_anneal = jnp.minimum(1.0, step.astype(jnp.float32) / (0.5 * cfg.iters))
 
+    k_perturb, k_stoch = jax.random.split(key)
     out = render_rays(
         params, occ, batch["rays_o"], batch["rays_d"], spec, _aabb(cfg),
         K=cfg.samples_per_ray, max_steps=cfg.max_steps, dt_gamma=cfg.dt_gamma,
-        min_near=cfg.min_near, bg_color=batch["bg_color"], perturb_key=key,
+        min_near=cfg.min_near, bg_color=batch["bg_color"], perturb_key=k_perturb,
         contract=cfg.contract, max_level=max_level, cos_anneal_ratio=cos_anneal,
         cam_near_far=batch.get("cam_near_far"),
+        stochastic_key=k_stoch if cfg.stochastic_interp else None,
     )
 
     pred = out["image"]
@@ -163,8 +165,13 @@ def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler):
 def make_occ_update(cfg: Config, spec: nerf_model.NeRFSpec):
     @jax.jit
     def occ_update(state: TrainState, key: jax.Array) -> TrainState:
+        k_stoch = jax.random.fold_in(key, 777)
+
         def density_fn(pts):
-            sig = nerf_model.density(state.params, pts, spec)["sigma"]
+            sig = nerf_model.density(
+                state.params, pts, spec,
+                stochastic_key=k_stoch if cfg.stochastic_interp else None,
+            )["sigma"]
             if cfg.sdf:
                 inv_s = jnp.clip(jnp.exp(state.params["variance"] * 10.0), 1e-6, 1e6)
                 sig = jax.nn.sigmoid(-sig * inv_s) * inv_s

@@ -1,13 +1,19 @@
 """Test config: force CPU backend with 8 virtual devices so sharding tests run
-without TPU hardware. Must run before jax is imported anywhere."""
+without TPU hardware.
+
+NOTE: this environment's sitecustomize imports jax and registers the 'axon'
+TPU-tunnel backend before pytest starts, so env vars alone are too late —
+jax.config.update is the reliable override.
+"""
 
 import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-
 import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

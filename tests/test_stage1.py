@@ -1,0 +1,101 @@
+"""End-to-end stage-1 slice: joint material/env/offsets optimization on the
+analytic sphere scene, starting from its exact SDF mesh.  Checks that the
+path-traced (BRDF) image fits the ground truth and the recovered albedo
+correlates with the true albedo (the inverse-rendering capability itself)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mirres_restir_nerf_mesh_tpu.config import Config, finalize
+from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
+from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
+from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
+from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec
+from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
+from mirres_restir_nerf_mesh_tpu.render.stage1 import Stage1Static
+from mirres_restir_nerf_mesh_tpu.train import stage1
+from mirres_restir_nerf_mesh_tpu.train.losses import build_topology
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    n = 48
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    field = 0.5 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    v, t = marching_tets(field, 0.0, origin=(-1, -1, -1), spacing=(2 / (n - 1),) * 3)
+    v, t = decimate(v, t, 700)
+    data = make_synthetic_dataset(n_frames=8, H=32, W=32, bound=1.0)
+    return v, t, data
+
+
+def test_stage1_inverse_rendering(sphere_scene):
+    verts, tris, data = sphere_scene
+    cfg = finalize(
+        Config(
+            bound=1.0, iters=120, use_brdf=True, env_h=16, env_w=32,
+            lambda_rgb_brdf=0.2, lambda_mask=0.1, spp=1,
+            lambda_lap=0.001, lambda_offsets=0.1,
+        )
+    )
+    nerf_spec = NeRFSpec(bound=1.0)
+    mat_spec = MaterialSpec(
+        bound=1.0,
+        min_vals=tuple(cfg.kd_min[:3]) + tuple(cfg.ks_min),
+        max_vals=tuple(cfg.kd_max[:3]) + tuple(cfg.ks_max),
+    )
+    static = Stage1Static(
+        tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+        spp=1, bounces=1,
+    )
+    topo = build_topology(tris, verts.shape[0])
+    sampler = RayDataset(data, bound=1.0)
+
+    key = jax.random.PRNGKey(0)
+    nerf_params = init_nerf(key, nerf_spec)
+    state = stage1.init_state(key, cfg, static, nerf_params, verts.shape[0])
+    train_step = stage1.make_train_step(cfg, static, verts, topo)
+
+    # full-frame batches (stage-1 trains per image like the reference)
+    frames = [sampler.frame_rays(i) for i in range(data.num_frames)]
+
+    def frame_batch(i):
+        f = frames[i % len(frames)]
+        return {
+            "rays_o": f["rays_o"],
+            "rays_d": f["rays_d"],
+            "pixels": f["pixels"],
+            "alpha": f["alpha"],
+        }
+
+    losses, psnrs_brdf = [], []
+    for i in range(cfg.iters):
+        key, sub = jax.random.split(key)
+        state, aux = train_step(state, frame_batch(i), sub)
+        losses.append(float(aux["loss"]))
+        psnrs_brdf.append(float(aux["psnr_brdf"]))
+
+    assert np.isfinite(losses).all()
+    first = np.mean(psnrs_brdf[:8])
+    last = np.mean(psnrs_brdf[-8:])
+    assert last > first + 2.0, f"brdf psnr did not improve: {first:.2f} -> {last:.2f}"
+    assert last > 14.0, f"absolute brdf psnr too low: {last:.2f}"
+
+    # recovered albedo should correlate with the true one (0.8, 0.3, 0.2):
+    # red channel clearly dominant
+    from mirres_restir_nerf_mesh_tpu.models.material import sample_material, split_material
+
+    pts = jnp.asarray(verts[::7], jnp.float32)
+    kd, rough, metal = split_material(sample_material(state.params.mat, pts, mat_spec))
+    kd_mean = np.asarray(jnp.mean(kd, axis=0))
+    assert kd_mean[0] > kd_mean[1] > kd_mean[2], f"albedo ordering wrong: {kd_mean}"
+
+    # vertex offsets should remain small (mesh already correct)
+    off_mag = float(jnp.mean(jnp.linalg.norm(state.params.offsets, axis=-1)))
+    assert off_mag < 0.05, off_mag
+
+    # environment light stays non-negative and finite
+    assert bool(jnp.isfinite(state.params.env).all())
+    assert float(jnp.min(state.params.env)) >= 0.01 - 1e-6
