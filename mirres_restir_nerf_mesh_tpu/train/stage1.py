@@ -147,11 +147,25 @@ def stage1_loss(
     if cfg.lambda_offsets > 0:
         loss = loss + cfg.lambda_offsets * L.offsets_loss(act_voffsets(params.offsets))
 
+    # per-face error accumulation for the refine hook (reference
+    # renderer.py:1376-1396 update_triangles_errors)
+    n_faces = int(static.tris.shape[0])
+    pix_err = jax.lax.stop_gradient(jnp.mean(jnp.abs(out["image"] - gt), axis=-1))
+    fid = jnp.where(out["mask"], out["face_id"], n_faces)  # drop misses
+    face_err = jax.ops.segment_sum(
+        jnp.where(out["mask"], pix_err, 0.0), fid, num_segments=n_faces + 1
+    )[:n_faces]
+    face_cnt = jax.ops.segment_sum(
+        out["mask"].astype(jnp.float32), fid, num_segments=n_faces + 1
+    )[:n_faces]
+
     aux = {
         "loss": loss,
         "psnr": -10.0 * jnp.log10(jnp.maximum(jnp.mean((out["image"] - gt) ** 2), 1e-12)),
         "psnr_brdf": -10.0
         * jnp.log10(jnp.maximum(jnp.mean((out["image_brdf"] - gt) ** 2), 1e-12)),
+        "face_err": face_err,
+        "face_cnt": face_cnt,
     }
     return loss, aux
 

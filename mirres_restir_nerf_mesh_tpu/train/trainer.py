@@ -1,0 +1,329 @@
+"""Top-level Trainer: the reference `nerf/utils.py:709-2022` orchestration
+rebuilt around jitted functional steps.
+
+Public surface (parity with the reference Trainer):
+  train / evaluate / test / save_mesh / export_stage1 /
+  save_checkpoint / load_checkpoint
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.provider import FrameData, RayDataset
+from ..models import nerf as nerf_model
+from ..models.material import MaterialSpec, sample_material
+from ..models.nerf import NeRFSpec
+from ..render.stage1 import Stage1Static, act_voffsets
+from . import checkpoint as ckpt
+from . import stage0, stage1
+from .losses import build_topology
+from .metrics import psnr as psnr_fn
+from .metrics import ssim as ssim_fn
+
+
+class Trainer:
+    def __init__(self, name: str, cfg: Config, train_data: FrameData, workspace: Optional[str] = None):
+        self.name = name
+        self.cfg = cfg
+        self.workspace = workspace or cfg.workspace
+        os.makedirs(self.workspace, exist_ok=True)
+        self.log_path = os.path.join(self.workspace, f"log_{name}.txt")
+        from ..utils.profiling import MetricsWriter
+
+        self.metrics_writer = MetricsWriter(os.path.join(self.workspace, f"metrics_{name}.jsonl"))
+
+        compute_dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
+        self.nerf_spec = NeRFSpec(bound=cfg.bound, sdf=cfg.sdf, compute_dtype=compute_dtype)
+        self.sampler = RayDataset(train_data, bound=cfg.bound, background=cfg.background)
+        self.train_data = train_data
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.global_step = 0
+        self.best_metric = -1e9
+
+        if cfg.stage == 0:
+            self.state = stage0.init_state(self._next_key(), cfg, self.nerf_spec)
+            self.train_step = stage0.make_train_step(cfg, self.nerf_spec, self.sampler)
+            self.occ_update = stage0.make_occ_update(cfg, self.nerf_spec)
+            self.render_fn = stage0.make_render_fn(cfg, self.nerf_spec)
+            if cfg.ckpt != "scratch":
+                self._try_resume(stage=0)
+        else:
+            self._init_stage1()
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def log(self, msg: str) -> None:
+        print(msg)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    # ------------------------------------------------------------- stage 1 init
+    def _init_stage1(self) -> None:
+        cfg = self.cfg
+        from ..export.meshio import read_ply
+
+        mesh_path = cfg.mesh or os.path.join(self.workspace, "mesh_0.ply")
+        upd = os.path.join(self.workspace, "mesh_0_updated.ply")
+        if os.path.exists(upd):
+            mesh_path = upd  # refined meshes reload preferentially (renderer.py:152-156)
+        verts, tris = read_ply(mesh_path)
+        self.base_verts = verts
+        self.tris = tris
+        self.topo = build_topology(tris, verts.shape[0])
+
+        mat_spec = MaterialSpec(
+            bound=cfg.bound,
+            min_vals=tuple(cfg.kd_min[:3]) + tuple(cfg.ks_min),
+            max_vals=tuple(cfg.kd_max[:3]) + tuple(cfg.ks_max),
+            compute_dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
+        )
+        H, W = self.train_data.H, self.train_data.W
+        de = 4 if cfg.use_restir else 0
+        self.static = Stage1Static(
+            tris=jnp.asarray(tris), nerf_spec=self.nerf_spec, mat_spec=mat_spec,
+            spp=cfg.spp, bounces=cfg.pt_bounces, use_restir=cfg.use_restir,
+            H=H, W=W,
+            restir_tiles=cfg.restir_light_tile_count,
+            restir_tile_size=cfg.restir_light_tile_size,
+            restir_light_samples=cfg.restir_initial_light_samples,
+            restir_brdf_samples=cfg.restir_initial_brdf_samples,
+            restir_neighbors=cfg.restir_spatial_neighbors,
+            restir_radius=cfg.restir_spatial_radius,
+            restir_offsets=cfg.restir_neighbor_offset_count,
+            restir_history=float(cfg.restir_max_history_length),
+            denoise_iters=de, denoise_bilateral=cfg.use_bi_de,
+            enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
+        )
+
+        # stage-1 bootstraps from stage-0 best (utils.py:871-873)
+        nerf_params = nerf_model.init_nerf(self._next_key(), self.nerf_spec)
+        p = ckpt.find_checkpoint(self.workspace, self.name, 0, "best") or ckpt.find_checkpoint(
+            self.workspace, self.name, 0, "latest"
+        )
+        if p:
+            st0, _, _ = ckpt.load_checkpoint(p)
+            ema = st0.ema_params if hasattr(st0, "ema_params") else st0[2]
+            nerf_params = jax.tree_util.tree_map(jnp.asarray, ema)
+            self.log(f"[stage1] loaded stage-0 field from {p}")
+
+        self.state = stage1.init_state(self._next_key(), self.cfg, self.static, nerf_params, verts.shape[0])
+        self.train_step = stage1.make_train_step(self.cfg, self.static, self.base_verts, self.topo)
+        self._face_err_acc = np.zeros(tris.shape[0], np.float64)
+        self._face_cnt_acc = np.zeros(tris.shape[0], np.float64)
+        if cfg.ckpt != "scratch":
+            self._try_resume(stage=1)
+
+    def _refine_mesh(self) -> None:
+        """Error-driven subdivide/decimate + state rebuild
+        (reference utils.py:1622-1642 -> renderer.py:230-316)."""
+        import dataclasses
+
+        from ..export.meshio import write_ply
+        from ..export.refine import refine_and_decimate
+
+        cfg = self.cfg
+        errs = np.where(self._face_cnt_acc > 0, self._face_err_acc / np.maximum(self._face_cnt_acc, 1), 0.0)
+        verts_cur = np.asarray(jnp.asarray(self.base_verts) + act_voffsets(self.state.params.offsets))
+        v2, t2 = refine_and_decimate(
+            verts_cur, self.tris, errs,
+            decimate_ratio=cfg.refine_decimate_ratio,
+            min_edge_len=cfg.refine_size,
+        )
+        self.log(f"[refine] mesh {self.tris.shape[0]} -> {t2.shape[0]} faces")
+        write_ply(os.path.join(self.workspace, "mesh_0_updated.ply"), v2, t2)
+
+        self.base_verts = v2
+        self.tris = t2
+        self.topo = build_topology(t2, v2.shape[0])
+        self.static = dataclasses.replace(self.static, tris=jnp.asarray(t2))
+        params = self.state.params._replace(offsets=jnp.zeros((v2.shape[0], 3), jnp.float32))
+        opt = stage1.make_optimizer(cfg)
+        self.state = stage1.Stage1State(params=params, opt_state=opt.init(params), step=self.state.step)
+        self.train_step = stage1.make_train_step(cfg, self.static, self.base_verts, self.topo)
+        self._face_err_acc = np.zeros(t2.shape[0], np.float64)
+        self._face_cnt_acc = np.zeros(t2.shape[0], np.float64)
+
+    def _try_resume(self, stage: int) -> None:
+        which = "best" if self.cfg.ckpt == "best" else "latest"
+        p = self.cfg.ckpt if os.path.exists(str(self.cfg.ckpt)) else ckpt.find_checkpoint(
+            self.workspace, self.name, stage, which
+        )
+        if p:
+            st, step, _ = ckpt.load_checkpoint(p, self.state)
+            self.state = jax.tree_util.tree_map(jnp.asarray, st)
+            self.global_step = step
+            self.log(f"[ckpt] resumed from {p} at step {step}")
+
+    # ------------------------------------------------------------------ train
+    def train(self, max_steps: Optional[int] = None) -> None:
+        cfg = self.cfg
+        steps = max_steps or cfg.iters
+        eval_every = max(steps // max(cfg.n_eval, 1), 1)
+        save_every = max(steps // max(cfg.n_ckpt, 1), 1)
+        t0 = time.time()
+        last = {}
+
+        start = self.global_step
+        for i in range(start, steps):
+            sub = self._next_key()
+            if cfg.stage == 0 and i % cfg.update_extra_interval == 0:
+                self.state = self.occ_update(self.state, self._next_key())
+            if cfg.stage == 0:
+                self.state, aux = self.train_step(self.state, sub)
+            else:
+                batch = self._stage1_batch(i)
+                self.state, aux = self.train_step(self.state, batch, sub)
+                if cfg.refine:
+                    self._face_err_acc += np.asarray(aux["face_err"])
+                    self._face_cnt_acc += np.asarray(aux["face_cnt"])
+                    if (i + 1) in cfg.refine_steps:
+                        self._refine_mesh()
+            self.global_step = i + 1
+
+            if (i + 1) % 100 == 0 or i == steps - 1:
+                last = {
+                    k: float(v) for k, v in aux.items() if getattr(v, "ndim", 0) == 0
+                }
+                rate = (i + 1 - start) / max(time.time() - t0, 1e-9)
+                self.log(
+                    f"[train] step {i+1}/{steps} loss={last.get('loss', 0):.5f} "
+                    f"psnr={last.get('psnr', 0):.2f} it/s={rate:.2f}"
+                )
+                self.metrics_writer.write(i + 1, it_per_s=rate, **last)
+            if (i + 1) % save_every == 0 or i == steps - 1:
+                self.save_checkpoint()
+            if (i + 1) % eval_every == 0:
+                metric = last.get("psnr_brdf", last.get("psnr", 0.0))
+                if metric > self.best_metric:
+                    self.best_metric = metric
+                    self.save_checkpoint(best=True)
+
+    def _stage1_batch(self, i: int) -> Dict[str, jnp.ndarray]:
+        f = self.sampler.frame_rays(i % self.train_data.num_frames)
+        return {
+            "rays_o": f["rays_o"], "rays_d": f["rays_d"],
+            "pixels": f["pixels"], "alpha": f["alpha"],
+        }
+
+    # ----------------------------------------------------------------- eval
+    def evaluate(self, data: Optional[FrameData] = None, max_frames: int = 8) -> Dict[str, float]:
+        sampler = RayDataset(data, bound=self.cfg.bound) if data is not None else self.sampler
+        n = min(sampler.data.num_frames, max_frames)
+        psnrs, ssims = [], []
+        for i in range(n):
+            img, gt = self._render_eval_frame(sampler, i)
+            psnrs.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
+            ssims.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gt))))
+        res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+        self.log(f"[eval] {res}")
+        return res
+
+    def _render_eval_frame(self, sampler: RayDataset, idx: int):
+        f = sampler.frame_rays(idx)
+        H, W = sampler.H, sampler.W
+        gt = np.asarray(f["pixels"]).reshape(H, W, 3)
+        if self.cfg.stage == 0:
+            img, _ = stage0.render_frame(self.state, self.render_fn, f["rays_o"], f["rays_d"], H, W)
+        else:
+            from ..render.stage1 import render_stage1
+
+            # relighting: swap envmap, scale albedo, apply exposure
+            # (reference renderer.py:1026,1087-1089,1126)
+            relight_env = None
+            albedo_scale = None
+            exposure = None
+            if self.cfg.test and self.cfg.envmap_path != "None":
+                relight_env = self._relight_env()
+                albedo_scale = jnp.array(
+                    [self.cfg.albedo_scale_x, self.cfg.albedo_scale_y, self.cfg.albedo_scale_z]
+                )
+            if self.cfg.use_hdr:
+                exposure = jnp.asarray(2.0 ** self.cfg.exposure)
+
+            out = render_stage1(
+                self.state.params, self.static, jnp.asarray(self.base_verts),
+                f["rays_o"], f["rays_d"], self._next_key(),
+                relight_env=relight_env, albedo_scale=albedo_scale,
+                exposure_scale=exposure,
+            )
+            img = np.asarray(out["image_brdf"] if self.cfg.use_brdf else out["image"]).reshape(H, W, 3)
+        return np.clip(img, 0, 1), gt
+
+    def _relight_env(self):
+        if not hasattr(self, "_relight_env_cache"):
+            from ..utils.image_io import load_hdr
+
+            env = load_hdr(self.cfg.envmap_path)
+            self._relight_env_cache = jnp.asarray(env)
+            self.log(f"[relight] loaded {self.cfg.envmap_path} {env.shape}")
+        return self._relight_env_cache
+
+    def test(self, data: Optional[FrameData] = None, out_dir: Optional[str] = None) -> None:
+        """Render the test trajectory and dump images (utils.py:1319-1397)."""
+        from PIL import Image
+
+        sampler = RayDataset(data, bound=self.cfg.bound) if data is not None else self.sampler
+        out_dir = out_dir or os.path.join(self.workspace, "results")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(sampler.data.num_frames):
+            img, _ = self._render_eval_frame(sampler, i)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{self.name}_{i:04d}_rgb.png")
+            )
+        self.log(f"[test] wrote {sampler.data.num_frames} frames to {out_dir}")
+
+    # ----------------------------------------------------------------- export
+    def save_mesh(self, resolution: Optional[int] = None, decimate_target: Optional[float] = None):
+        from ..export.stage0_export import export_stage0_mesh
+
+        cfg = self.cfg
+        params = self.state.ema_params if hasattr(self.state, "ema_params") else self.state.params
+
+        def density_fn(pts):
+            return nerf_model.density(params, pts, self.nerf_spec)["sigma"]
+
+        return export_stage0_mesh(
+            jax.jit(density_fn), self.workspace,
+            bound=cfg.bound, cascade=cfg.cascade,
+            resolution=resolution or cfg.mcubes_reso,
+            density_thresh=cfg.density_thresh,
+            decimate_target=decimate_target if decimate_target is not None else cfg.decimate_target,
+            clean_min_f=cfg.clean_min_f, clean_min_d=cfg.clean_min_d,
+            sdf=cfg.sdf,
+            dataset=self.train_data if cfg.mesh_visibility_culling else None,
+            visibility_culling=cfg.mesh_visibility_culling,
+            env_reso=cfg.env_reso,
+        )
+
+    def export_stage1(self, texture_size: Optional[int] = None) -> str:
+        from ..export.stage1_export import export_stage1_mesh
+
+        verts = np.asarray(
+            jnp.asarray(self.base_verts) + act_voffsets(self.state.params.offsets)
+        )
+
+        def material_fn(pts):
+            return sample_material(self.state.params.mat, pts, self.static.mat_spec)
+
+        return export_stage1_mesh(
+            verts, self.tris, jax.jit(material_fn), self.workspace,
+            texture_size=texture_size or self.cfg.texture_size,
+        )
+
+    # ------------------------------------------------------------- checkpoints
+    def save_checkpoint(self, best: bool = False) -> None:
+        ckpt.save_checkpoint(
+            self.workspace, self.name, self.cfg.stage, self.global_step,
+            self.state, best=best,
+        )

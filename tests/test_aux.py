@@ -1,0 +1,187 @@
+"""Tests for auxiliary subsystems: mesh refinement, dump renderer, NeRF
+visibility, profiling/metrics, checkpointing, data-parallel sharding."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_subdivide_faces_welds_midpoints():
+    from mirres_restir_nerf_mesh_tpu.export.refine import subdivide_faces
+
+    # two triangles sharing an edge; subdivide only the first
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    v2, t2 = subdivide_faces(verts, tris, np.array([True, False]))
+    # face 0 -> 4 faces; face 1 has one subdivided edge (1-2) -> split into 2
+    assert t2.shape[0] == 6
+    assert v2.shape[0] == 7  # 4 + 3 midpoints
+    # watertight across the shared edge: every edge used exactly twice or once (boundary)
+    from collections import Counter
+
+    edges = Counter()
+    for f in t2:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edges[tuple(sorted((int(a), int(b))))] += 1
+    assert max(edges.values()) <= 2
+
+
+def test_refine_and_decimate_grows_detail_region():
+    from mirres_restir_nerf_mesh_tpu.export.meshops import marching_tets
+    from mirres_restir_nerf_mesh_tpu.export.refine import refine_and_decimate
+
+    n = 24
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    field = 0.5 - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    v, t = marching_tets(field, 0.0, origin=(-1, -1, -1), spacing=(2 / (n - 1),) * 3)
+    errs = np.zeros(t.shape[0])
+    top = v[t].mean(1)[:, 1] > 0.3  # high error near the top pole
+    errs[top] = 1.0
+    v2, t2 = refine_and_decimate(v, t, errs, refine_quantile=0.5, decimate_ratio=0.0)
+    assert t2.shape[0] > t.shape[0]
+    # refined region has smaller average triangle area near the pole
+    def area(v, t, m):
+        e1 = v[t[:, 1]] - v[t[:, 0]]
+        e2 = v[t[:, 2]] - v[t[:, 0]]
+        a = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        return a[m].mean()
+
+    top2 = v2[t2].mean(1)[:, 1] > 0.3
+    assert area(v2, t2, top2) < area(v, t, top) * 0.6
+
+
+def test_dump_renderer_matches_mc_direct():
+    """Deterministic all-texel lighting should match the MC direct estimator."""
+    from mirres_restir_nerf_mesh_tpu.models import envlight
+    from mirres_restir_nerf_mesh_tpu.render import brdf
+    from mirres_restir_nerf_mesh_tpu.render.dump import render_dump
+
+    key = jax.random.PRNGKey(0)
+    P = 16
+    normal = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (P, 1))
+    view = jnp.tile(jnp.array([[0.3, 0.0, -0.95]]), (P, 1))
+    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+    kd = jnp.tile(jnp.array([[0.6, 0.4, 0.2]]), (P, 1))
+    rough = jnp.full((P,), 0.5)
+    metal = jnp.zeros((P,))
+    env = jax.random.uniform(key, (8, 16, 3)) * 2.0
+
+    out = render_dump(
+        jnp.zeros((P, 3)), normal, view, jnp.ones((P,), bool),
+        kd, rough, metal, env, bvh=None,
+    )
+
+    # MC reference with uniform hemisphere sampling
+    N = 100_000
+    u = jax.random.uniform(jax.random.PRNGKey(1), (N, 2))
+    z = u[:, 0]
+    r = jnp.sqrt(jnp.maximum(1 - z * z, 0))
+    phi = 2 * jnp.pi * u[:, 1]
+    wi = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+    w_view = brdf.to_local(-view[:1], normal[:1])
+    p_diff, p_spec = brdf.lobe_probabilities(kd[:1], metal[:1], jnp.sum(-view[:1] * normal[:1], -1))
+    f = brdf.brdf_eval(
+        jnp.broadcast_to(w_view, (N, 3)), wi,
+        jnp.broadcast_to(kd[:1], (N, 3)), jnp.broadcast_to(metal[:1], (N,)),
+        jnp.broadcast_to(brdf.alpha_from_roughness(rough[:1]), (N,)),
+        jnp.broadcast_to(p_diff, (N,)), jnp.broadcast_to(p_spec, (N,)),
+    )
+    le = envlight.eval_le(env, wi)
+    ref = jnp.mean(f * le, axis=0) * 2 * jnp.pi
+
+    got = out["image_brdf"][0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0.08)
+
+
+def test_nerf_visibility_blocks_dense_regions():
+    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
+    from mirres_restir_nerf_mesh_tpu.render.dump import nerf_visibility_fn
+
+    spec = NeRFSpec(bound=1.0)
+    params = init_nerf(jax.random.PRNGKey(0), spec)
+    fn = nerf_visibility_fn(params, spec)
+    o = jnp.zeros((4, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    vis = fn(o, d)
+    assert vis.shape == (4,)
+    assert bool(jnp.isfinite(vis).all())
+    assert float(vis.min()) >= 0 and float(vis.max()) <= 1
+
+
+def test_metrics_writer(tmp_path):
+    from mirres_restir_nerf_mesh_tpu.utils.profiling import MetricsWriter, PhaseTimer
+
+    w = MetricsWriter(str(tmp_path / "m.jsonl"))
+    w.write(1, loss=0.5, psnr=20.0)
+    w.write(2, loss=0.4)
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    assert "a:" in t.summary()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mirres_restir_nerf_mesh_tpu.train.checkpoint import (
+        find_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"w": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    save_checkpoint(str(tmp_path), "ngp", 0, 100, state)
+    save_checkpoint(str(tmp_path), "ngp", 0, 200, state)
+    save_checkpoint(str(tmp_path), "ngp", 0, 300, state, max_keep=2)
+    p = find_checkpoint(str(tmp_path), "ngp", 0, "latest")
+    assert p.endswith("0000300.pkl")
+    # rolling window kept only 2
+    import glob as g
+
+    assert len(g.glob(str(tmp_path / "checkpoints" / "ngp_stage0_0*.pkl"))) == 2
+    st, step, _ = load_checkpoint(p, state)
+    assert step == 300
+    np.testing.assert_allclose(np.asarray(st["w"]), np.arange(4.0))
+
+
+def test_data_parallel_render_matches_single_device():
+    """Sharded stage-0 loss must equal the single-device value (psum path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mirres_restir_nerf_mesh_tpu.config import Config, finalize
+    from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
+    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec
+    from mirres_restir_nerf_mesh_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mirres_restir_nerf_mesh_tpu.train import stage0
+
+    cfg = finalize(Config(bound=1.0, num_rays=256, max_steps=32, samples_per_ray=8,
+                          grid_size=16, dt_gamma=0.0, lambda_tv=0.0,
+                          stochastic_interp=False))
+    spec = NeRFSpec(bound=cfg.bound)
+    data = make_synthetic_dataset(n_frames=2, H=16, W=16)
+    sampler = RayDataset(data, bound=1.0)
+    state = stage0.init_state(jax.random.PRNGKey(0), cfg, spec)
+    batch = sampler.sample(jax.random.PRNGKey(1), cfg.num_rays)
+    key = jax.random.PRNGKey(2)
+
+    loss_single, _ = stage0.stage0_loss(
+        state.params, state.occ.occ, batch, key, cfg, spec, state.step
+    )
+
+    mesh = make_mesh((8,), ("data",))
+    state_r = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    key_r = jax.device_put(key, NamedSharding(mesh, P()))
+
+    loss_fn = jax.jit(
+        lambda p, occ, b, k, s: stage0.stage0_loss(p, occ, b, k, cfg, spec, s)[0]
+    )
+    loss_sharded = loss_fn(state_r.params, state_r.occ.occ, batch_s, key_r, state_r.step)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=2e-4)

@@ -1,0 +1,97 @@
+"""Full-pipeline integration: blender-format dataset on disk -> CLI stage 0
+(train + mesh export) -> CLI stage 1 (train + textured OBJ export).
+This is the user-facing path of the framework (reference main.py workflow)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    """Write the synthetic sphere scene as a blender-format dataset."""
+    from PIL import Image
+
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import (
+        make_synthetic_dataset,
+        orbit_pose,
+        render_sphere_image,
+    )
+
+    root = tmp_path_factory.mktemp("blender_scene")
+    H = W = 40
+    fx = 0.8 * W
+    intrinsics = np.array([fx, fx, W / 2, H / 2], np.float32)
+
+    for split, n, seed in (("train", 10, 0), ("val", 2, 1), ("test", 2, 2)):
+        frames = []
+        os.makedirs(root / split, exist_ok=True)
+        rng = np.random.RandomState(seed)
+        for k in range(n):
+            theta = np.pi / 3 + rng.uniform(0, np.pi / 3)
+            phi = 2 * np.pi * k / n + rng.uniform(0, 0.3)
+            # note: dataset loader rescales translations by `scale`; generate
+            # poses already inside the box and use scale=1
+            pose = orbit_pose(theta, phi, radius=2.0)
+            img = render_sphere_image(pose, intrinsics, H, W)
+            name = f"r_{k}"
+            Image.fromarray((img * 255).astype(np.uint8)).save(root / split / f"{name}.png")
+            frames.append(
+                {"file_path": f"{split}/{name}", "transform_matrix": pose.tolist()}
+            )
+        meta = {
+            "camera_angle_x": float(2 * np.arctan(0.5 * W / fx)),
+            "frames": frames,
+        }
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    return str(root)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="~18min on CPU; set RUN_SLOW_TESTS=1 (run in CI/nightly)",
+)
+def test_full_pipeline_stage0_then_stage1(blender_dir, tmp_path):
+    import main as cli
+
+    ws = str(tmp_path / "ws")
+
+    # ---- stage 0: short training + mesh export ----
+    cli.main(
+        [
+            blender_dir, "--workspace", ws, "--stage", "0", "--scale", "1.0",
+            "--bound", "1", "--iters", "200", "--num_rays", "1024",
+            "--max_steps", "128", "--samples_per_ray", "32",
+            "--grid_size", "32", "--dt_gamma", "0", "--lambda_tv", "0",
+            "--mcubes_reso", "40", "--decimate_target", "1500",
+            "--n_eval", "1", "--n_ckpt", "1",
+        ]
+    )
+    assert os.path.exists(os.path.join(ws, "mesh_0.ply"))
+    ckpts = os.listdir(os.path.join(ws, "checkpoints"))
+    assert any("stage0" in c for c in ckpts)
+
+    from mirres_restir_nerf_mesh_tpu.export.meshio import read_ply
+
+    v, t = read_ply(os.path.join(ws, "mesh_0.ply"))
+    assert t.shape[0] > 100
+    r = np.linalg.norm(v, axis=1)
+    # extracted surface should be near the true sphere (r=0.5)
+    assert 0.3 < np.median(r) < 0.7, np.median(r)
+
+    # ---- stage 1: brdf training + textured export ----
+    cli.main(
+        [
+            blender_dir, "--workspace", ws, "--stage", "1", "--scale", "1.0",
+            "--bound", "1", "--iters", "10", "--use_brdf",
+            "--spp", "1", "--pt_bounces", "1", "--env_h", "16", "--env_w", "32",
+            "--texture_size", "128", "--n_eval", "1", "--n_ckpt", "1",
+        ]
+    )
+    assert os.path.exists(os.path.join(ws, "mesh_0.obj"))
+    assert os.path.exists(os.path.join(ws, "feat0_0.png"))
+    ckpts = os.listdir(os.path.join(ws, "checkpoints"))
+    assert any("stage1" in c for c in ckpts)

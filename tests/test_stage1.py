@@ -3,6 +3,8 @@ analytic sphere scene, starting from its exact SDF mesh.  Checks that the
 path-traced (BRDF) image fits the ground truth and the recovered albedo
 correlates with the true albedo (the inverse-rendering capability itself)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,3 +101,51 @@ def test_stage1_inverse_rendering(sphere_scene):
     # environment light stays non-negative and finite
     assert bool(jnp.isfinite(state.params.env).all())
     assert float(jnp.min(state.params.env)) >= 0.01 - 1e-6
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="~30min CPU compile+run; set RUN_SLOW_TESTS=1 (run in CI/nightly)",
+)
+def test_stage1_restir_mode_trains(sphere_scene):
+    """Full ReSTIR DI + denoise + 1 bounce: short smoke training run."""
+    verts, tris, data = sphere_scene
+    cfg = finalize(
+        Config(
+            bound=1.0, iters=25, use_brdf=True, use_restir=True,
+            env_h=16, env_w=32, lambda_rgb_brdf=0.2, lambda_mask=0.1, spp=1,
+        )
+    )
+    nerf_spec = NeRFSpec(bound=1.0)
+    mat_spec = MaterialSpec(
+        bound=1.0,
+        min_vals=tuple(cfg.kd_min[:3]) + tuple(cfg.ks_min),
+        max_vals=tuple(cfg.kd_max[:3]) + tuple(cfg.ks_max),
+    )
+    static = Stage1Static(
+        tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+        spp=2, bounces=1, use_restir=True, H=data.H, W=data.W,
+        restir_tiles=4, restir_tile_size=64, restir_light_samples=8,
+        restir_brdf_samples=1, restir_neighbors=3, restir_radius=5.0,
+        restir_offsets=256, denoise_iters=2,
+    )
+    topo = build_topology(tris, verts.shape[0])
+    sampler = RayDataset(data, bound=1.0)
+
+    key = jax.random.PRNGKey(0)
+    nerf_params = init_nerf(key, nerf_spec)
+    state = stage1.init_state(key, cfg, static, nerf_params, verts.shape[0])
+    train_step = stage1.make_train_step(cfg, static, verts, topo)
+
+    f = sampler.frame_rays(0)
+    batch = {"rays_o": f["rays_o"], "rays_d": f["rays_d"],
+             "pixels": f["pixels"], "alpha": f["alpha"]}
+
+    losses = []
+    for i in range(cfg.iters):
+        key, sub = jax.random.split(key)
+        state, aux = train_step(state, batch, sub)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss flat: {losses[0]} -> {losses[-1]}"
+    assert bool(jnp.isfinite(state.params.env).all())
