@@ -1,10 +1,10 @@
 """Benchmark harness: prints ONE JSON line for the driver.
 
-Round-1 metric: stage-0 training throughput (rays/s through the full
-march->hash-MLP->composite->backward step) on the real chip.
-vs_baseline is relative to the BASELINE.json north-star 50 Mrays/s/chip
-(defined there for the stage-1 2-bounce ReSTIR step; stage-1 bench lands
-when that path is complete, keeping the same metric name/unit).
+Headline metric (BASELINE.json): stage-1 2-bounce ReSTIR path-tracing ray
+throughput per chip.  Counts every traced ray (primary G-buffer + ReSTIR
+initial/spatial/final visibility + bounce closest-hits + bounce NEE shadows)
+through the full render_stage1 forward on a representative mesh.
+vs_baseline is relative to the 50 Mrays/s/chip north-star target.
 """
 
 from __future__ import annotations
@@ -14,56 +14,93 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def rays_per_pixel_per_spp(neighbors: int, bounces: int, unbiased_spatial: bool) -> int:
+    primary = 1
+    initial_vis = 1
+    spatial = (2 * neighbors) if unbiased_spatial else 0
+    final_vis = 1
+    bounce = 2 * bounces  # closest-hit + NEE shadow per bounce
+    return primary + initial_vis + spatial + final_vis + bounce
 
 
 def main() -> None:
-    from mirres_restir_nerf_mesh_tpu.config import Config, finalize
-    from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
-    from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
-    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec
-    from mirres_restir_nerf_mesh_tpu.train import stage0
-
-    cfg = finalize(
-        Config(
-            bound=1.0,
-            iters=1000,
-            num_rays=8192,
-            max_steps=512,
-            samples_per_ray=64,
-            grid_size=128,
-            dt_gamma=0.0,
-            lambda_tv=0.0,
-            fp16=True,
-        )
+    from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
+    from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec, init_material
+    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
+    from mirres_restir_nerf_mesh_tpu.models.envlight import init_envlight
+    from mirres_restir_nerf_mesh_tpu.render.stage1 import (
+        Stage1Params,
+        Stage1Static,
+        render_stage1,
     )
-    spec = NeRFSpec(bound=cfg.bound, compute_dtype=jnp.bfloat16)
-    data = make_synthetic_dataset(n_frames=8, H=96, W=96, bound=cfg.bound)
-    sampler = RayDataset(data, bound=cfg.bound)
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
+    from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
 
+    # representative mesh (~10k tris, lego-scale after decimation is 300k;
+    # bench uses the dense-tracer regime the test scenes run in)
+    n = 64
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    field = 0.5 + 0.04 * np.sin(7 * X) * np.sin(7 * Y) - r
+    verts, tris = marching_tets(field, 0.0, origin=(-1, -1, -1), spacing=(2 / (n - 1),) * 3)
+    verts, tris = decimate(verts, tris, 10000)
+
+    H = W = 128
+    SPP = 1
+    BOUNCES = 2
+    NEIGHBORS = 5
+
+    data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=1.0)
+    sampler = RayDataset(data, bound=1.0)
+    f = sampler.frame_rays(0)
+
+    nerf_spec = NeRFSpec(bound=1.0, compute_dtype=jnp.bfloat16)
+    mat_spec = MaterialSpec(bound=1.0, compute_dtype=jnp.bfloat16)
+    static = Stage1Static(
+        tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+        spp=SPP, bounces=BOUNCES, use_restir=True, H=H, W=W,
+        restir_tiles=32, restir_tile_size=256,
+        restir_light_samples=32, restir_brdf_samples=1,
+        restir_neighbors=NEIGHBORS, restir_radius=30.0, restir_offsets=8192,
+        denoise_iters=4,
+    )
     key = jax.random.PRNGKey(0)
-    state = stage0.init_state(key, cfg, spec)
-    train_step = stage0.make_train_step(cfg, spec, sampler)
-    occ_update = stage0.make_occ_update(cfg, spec)
+    params = Stage1Params(
+        nerf=init_nerf(key, nerf_spec),
+        offsets=jnp.zeros((verts.shape[0], 3)),
+        mat=init_material(key, mat_spec),
+        env=init_envlight(64, 128),
+    )
+    bv = jnp.asarray(verts)
 
-    # warm up / compile
-    state = occ_update(state, jax.random.PRNGKey(1))
-    state, aux = train_step(state, jax.random.PRNGKey(2))
-    jax.block_until_ready(aux["loss"])
+    @jax.jit
+    def step(params, ro, rd, k):
+        out = render_stage1(params, static, bv, ro, rd, k)
+        return out["image_brdf"]
 
-    iters = 30
+    img = step(params, f["rays_o"], f["rays_d"], key)
+    jax.block_until_ready(img)
+    # force full completion via scalar fetch each iteration
+    fetch = jax.jit(lambda p, ro, rd, k: jnp.sum(step(p, ro, rd, k)))
+    float(fetch(params, f["rays_o"], f["rays_d"], key))
+
+    iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, aux = train_step(state, sub)
-    jax.block_until_ready(aux["loss"])
-    dt = time.perf_counter() - t0
+        float(fetch(params, f["rays_o"], f["rays_d"], jax.random.fold_in(key, i)))
+    dt = (time.perf_counter() - t0) / iters
 
-    rays_per_s = iters * cfg.num_rays / dt
-    mrays = rays_per_s / 1e6
+    rpp = rays_per_pixel_per_spp(NEIGHBORS, BOUNCES, True)
+    total_rays = H * W * SPP * rpp
+    mrays = total_rays / dt / 1e6
     print(
         json.dumps(
             {
-                "metric": "stage0_train_Mrays_per_s",
+                "metric": "stage1_restir_pt_Mrays_per_s",
                 "value": round(mrays, 4),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 50.0, 4),

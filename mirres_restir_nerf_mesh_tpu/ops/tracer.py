@@ -1,0 +1,44 @@
+"""Unified ray-tracer interface over the two acceleration backends.
+
+- 'cluster': TPU-native dense cluster tracer (ops/cluster_bvh.py) — default.
+- 'lbvh'   : Karras LBVH + stack traversal (ops/bvh.py) — the structural
+  parity backend mirroring the reference's Slang LBVH.
+
+A Tracer is a plain container of traced arrays plus methods, so it can be
+constructed inside jitted functions (vertices change every stage-1 step).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import bvh as lbvh_mod
+from . import cluster_bvh as cluster_mod
+from .bvh import HitResult
+
+
+class Tracer:
+    def __init__(self, accel, kind: str):
+        self.accel = accel
+        self.kind = kind
+
+    def intersect(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray, t_min: float = 1e-4,
+                  t_max=1e10) -> HitResult:
+        if self.kind == "cluster":
+            return cluster_mod.intersect_clusters(
+                self.accel, rays_o, rays_d, t_min=t_min, t_max=t_max
+            )
+        return lbvh_mod.intersect_bvh(self.accel, rays_o, rays_d, t_min=t_min, t_max=t_max)
+
+    def occluded(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray, t_max,
+                 t_min: float = 1e-4) -> jnp.ndarray:
+        if self.kind == "cluster":
+            return cluster_mod.occluded_clusters(self.accel, rays_o, rays_d, t_max, t_min)
+        return lbvh_mod.occluded(self.accel, rays_o, rays_d, t_max, t_min)
+
+
+def build_tracer(verts: jnp.ndarray, tris: jnp.ndarray, kind: str = "cluster",
+                 cluster_size: int = 128) -> Tracer:
+    if kind == "cluster":
+        return Tracer(cluster_mod.build_clusters(verts, tris, cluster_size), kind)
+    return Tracer(lbvh_mod.build_bvh(verts, tris), kind)

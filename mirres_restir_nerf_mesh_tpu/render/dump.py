@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..models import envlight
 from ..models import nerf as nerf_model
-from ..ops.bvh import BVH, occluded
+from ..ops.tracer import Tracer
 from ..utils.math import safe_normalize
 from . import brdf
 
@@ -45,7 +45,7 @@ def render_dump(
     roughness: jnp.ndarray,
     metallic: jnp.ndarray,
     env_tex: jnp.ndarray,     # [He,We,3]
-    bvh: Optional[BVH] = None,
+    tracer: Optional[Tracer] = None,
     visibility_fn=None,       # alternative: soft visibility(origins, dirs) -> [N]
     texel_chunk: int = 64,
 ) -> Dict[str, jnp.ndarray]:
@@ -78,8 +78,8 @@ def render_dump(
         # broadcast pixels x texels
         dd = jnp.broadcast_to(d_chunk[None], (P, n_t, 3)).reshape(-1, 3)
         org = jnp.repeat(position + normal * 1e-4, n_t, axis=0)
-        if bvh is not None:
-            vis = (~occluded(bvh, org, dd, 1e9)).astype(jnp.float32)
+        if tracer is not None:
+            vis = (~tracer.occluded(org, dd, 1e9)).astype(jnp.float32)
         elif visibility_fn is not None:
             vis = visibility_fn(org, dd)
         else:

@@ -18,7 +18,7 @@ from typing import Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.bvh import BVH, build_bvh, intersect_bvh
+from ..ops.tracer import Tracer
 from ..utils.math import safe_normalize
 
 
@@ -52,13 +52,13 @@ class GBuffer(NamedTuple):
 def raycast_gbuffer(
     verts: jnp.ndarray,
     tris: jnp.ndarray,
-    bvh: BVH,
+    tracer: Tracer,
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
 ) -> GBuffer:
     """Cast primary rays; interpolate attributes differentiably from verts."""
     d = safe_normalize(rays_d)
-    hit = intersect_bvh(bvh, rays_o, d)
+    hit = tracer.intersect(rays_o, d)
     mask = hit.prim >= 0
     face = jnp.where(mask, hit.prim, 0)
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import envlight
-from ..ops.bvh import BVH, intersect_bvh, occluded
+from ..ops.tracer import Tracer
 from ..utils.math import luminance, safe_normalize
 from . import brdf
 
@@ -84,7 +84,7 @@ def sample_direct_mis(
     metallic: jnp.ndarray,
     env_tex: jnp.ndarray,
     env_dist: envlight.EnvDistribution,
-    bvh: BVH,
+    tracer: Tracer,
 ) -> LightSample:
     """One-sample NEE+BRDF MIS direct-light sample per pixel (the no-ReSTIR
     baseline; ReSTIR's initial resampling replaces this with 32+1 RIS).
@@ -107,7 +107,7 @@ def sample_direct_mis(
     w_l = brdf.to_local(ldir, normal)
     bpdf_at_l = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
     mis_l = lpdf / jnp.maximum(lpdf + bpdf_at_l, 1e-12)
-    vis_l = ~occluded(bvh, position + normal * 1e-4, ldir, 1e9)
+    vis_l = ~tracer.occluded(position + normal * 1e-4, ldir, 1e9)
     Li_env = le * (mis_l * vis_l / jnp.maximum(lpdf, 1e-12))[:, None]
     ok_env = (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
 
@@ -116,7 +116,7 @@ def sample_direct_mis(
     bdir = brdf.to_global(s.w_light_l, normal)
     lpdf_at_b = envlight.pdf_li(env_dist, bdir)
     mis_b = s.pdf / jnp.maximum(s.pdf + lpdf_at_b, 1e-12)
-    vis_b = ~occluded(bvh, position + normal * 1e-4, bdir, 1e9)
+    vis_b = ~tracer.occluded(position + normal * 1e-4, bdir, 1e9)
     le_b = envlight.eval_le(env_tex, bdir)
     Li_brdf = le_b * (mis_b * vis_b / jnp.maximum(s.pdf, 1e-12))[:, None]
     ok_brdf = s.valid
@@ -177,7 +177,7 @@ def spawn_bounce(
 def trace_bounce(
     key: jax.Array,
     state: BounceState,
-    bvh: BVH,
+    tracer: Tracer,
     verts: jnp.ndarray,
     tris: jnp.ndarray,
     material_fn,
@@ -191,7 +191,7 @@ def trace_bounce(
     sg = jax.lax.stop_gradient
     k_nee, k_next = jax.random.split(key)
 
-    hit = intersect_bvh(bvh, state.origin, state.direction)
+    hit = tracer.intersect(state.origin, state.direction)
     hit_mask = (hit.prim >= 0) & state.alive
     escape = state.alive & (hit.prim < 0)
 
@@ -227,7 +227,7 @@ def trace_bounce(
     f = brdf.brdf_eval(w_view, w_l, kd, metal, alpha, p_diff, p_spec)
     bpdf = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
     mis = lpdf / jnp.maximum(lpdf + bpdf, 1e-12)
-    vis = ~occluded(bvh, pos + nrm * 1e-4, ldir, 1e9)
+    vis = ~tracer.occluded(pos + nrm * 1e-4, ldir, 1e9)
     nee_ok = hit_mask & (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
     nee = state.throughput * f * le * (mis * vis / jnp.maximum(lpdf, 1e-12))[:, None]
     nee_contrib = jnp.where(nee_ok[:, None], nee, 0.0)
@@ -262,7 +262,7 @@ def render_indirect(
     kd: jnp.ndarray,
     roughness: jnp.ndarray,
     metallic: jnp.ndarray,
-    bvh: BVH,
+    tracer: Tracer,
     verts: jnp.ndarray,
     tris: jnp.ndarray,
     material_fn,
@@ -281,7 +281,7 @@ def render_indirect(
     for b in range(bounces):
         key, kb = jax.random.split(key)
         escape_c, nee_c, state, _ = trace_bounce(
-            kb, state, bvh, verts, tris, material_fn, env_tex_ng, env_dist
+            kb, state, tracer, verts, tris, material_fn, env_tex_ng, env_dist
         )
         # segment-0 escapes are direct light at the primary hit — already
         # covered by the DI estimator's BRDF strategy; dropping them here

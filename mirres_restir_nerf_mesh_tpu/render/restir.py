@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import envlight
-from ..ops.bvh import BVH, occluded
+from ..ops.tracer import Tracer
 from ..utils.math import luminance
 from . import brdf
 from .pathtracer import LightSample
@@ -103,7 +103,7 @@ def initial_resampling(
     tiles: LightTiles,
     env_tex: jnp.ndarray,
     dist: envlight.EnvDistribution,
-    bvh: Optional[BVH],
+    tracer: Optional[Tracer],
     n_light_samples: int = 32,
     n_brdf_samples: int = 1,
     check_visibility: bool = True,
@@ -172,8 +172,8 @@ def initial_resampling(
 
     sel_valid = sel_valid & ctx.mask
 
-    if check_visibility and bvh is not None:
-        occ = occluded(bvh, ctx.position + ctx.normal * 1e-4, sel_dir, 1e9)
+    if check_visibility and tracer is not None:
+        occ = tracer.occluded(ctx.position + ctx.normal * 1e-4, sel_dir, 1e9)
         sel_valid = sel_valid & ~occ
 
     W = jnp.where(
@@ -248,7 +248,7 @@ def spatial_resampling(
     H: int,
     W_img: int,
     offsets: jnp.ndarray,
-    bvh: Optional[BVH] = None,
+    tracer: Optional[Tracer] = None,
     n_neighbors: int = 5,
     unbiased: bool = True,
 ) -> Reservoir:
@@ -290,13 +290,13 @@ def spatial_resampling(
     q_cand_at_c = target_function(ctx_rep, n_res.dir, le_n)
     q_canon_at_n = target_function(n_ctx, rep(res.dir), rep(le_c))
 
-    if unbiased and bvh is not None:
+    if unbiased and tracer is not None:
         # ONE batched shadow-ray traversal for both cross-visibility sets
         origins = jnp.concatenate(
             [ctx_rep.position + ctx_rep.normal * 1e-4, n_ctx.position + n_ctx.normal * 1e-4]
         )
         dirs = jnp.concatenate([n_res.dir, rep(res.dir)])
-        occ2 = occluded(bvh, origins, dirs, 1e9)
+        occ2 = tracer.occluded(origins, dirs, 1e9)
         vis_c = ~occ2[: P * nn]
         vis_n = ~occ2[P * nn :]
         q_cand_at_c = q_cand_at_c * vis_c
@@ -363,15 +363,15 @@ def evaluate_final_samples(
     ctx: PixelCtx,
     res: Reservoir,
     env_tex: jnp.ndarray,
-    bvh: Optional[BVH],
+    tracer: Optional[Tracer],
     check_visibility: bool = True,
 ) -> LightSample:
     """Winning reservoir -> LightSample with Li = W * Le * vis; differentiable
     wrt env_tex (EvaluateFinalSamples.slang:126-188, the envmap-gradient
     path)."""
     vis = jnp.ones((ctx.position.shape[0],))
-    if check_visibility and bvh is not None:
-        vis = (~occluded(bvh, ctx.position + ctx.normal * 1e-4, res.dir, 1e9)).astype(jnp.float32)
+    if check_visibility and tracer is not None:
+        vis = (~tracer.occluded(ctx.position + ctx.normal * 1e-4, res.dir, 1e9)).astype(jnp.float32)
     le = envlight.eval_le(env_tex, res.dir)
     li = le * (jax.lax.stop_gradient(res.W) * vis)[:, None]
     ok = res.valid & ctx.mask

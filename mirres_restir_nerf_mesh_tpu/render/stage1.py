@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..models import envlight, material as material_mod
 from ..models import nerf as nerf_model
-from ..ops.bvh import build_bvh
+from ..ops.tracer import build_tracer
 from ..utils.math import safe_normalize
 from . import pathtracer
 from .gbuffer import prepare_shading_normal, raycast_gbuffer
@@ -67,6 +67,11 @@ class Stage1Static:
     n_phi: float = 0.1
     p_phi: float = 0.1
 
+    # ray tracer backend: 'cluster' (TPU-native dense cluster tracer) or
+    # 'lbvh' (Karras LBVH, parity/reference backend)
+    tracer: str = "cluster"
+    cluster_size: int = 128
+
 
 def act_voffsets(vo: jnp.ndarray) -> jnp.ndarray:
     """Identity activation (reference nerf/utils.py:340-347 act_voffsets)."""
@@ -87,10 +92,14 @@ def render_stage1(
     tris = jnp.asarray(static.tris)
     verts = base_verts + act_voffsets(params.offsets)
 
-    # --- BVH rebuild every step, like the reference (renderer.py:975) ---
-    bvh = build_bvh(jax.lax.stop_gradient(verts), tris)
+    # --- acceleration-structure rebuild every step, like the reference
+    # (renderer.py:975); default backend is the TPU-native cluster tracer ---
+    tracer = build_tracer(
+        jax.lax.stop_gradient(verts), tris, kind=static.tracer,
+        cluster_size=static.cluster_size,
+    )
 
-    gb = raycast_gbuffer(verts, tris, bvh, rays_o, rays_d)
+    gb = raycast_gbuffer(verts, tris, tracer, rays_o, rays_d)
     normal = prepare_shading_normal(gb.view_dir, gb.normal, gb.face_normal)
 
     # --- material & jittered taps for smoothness grads (renderer.py:1000-1022) ---
@@ -158,7 +167,7 @@ def render_stage1(
                 k_t, sg(env_tex), env_dist, static.restir_tiles, static.restir_tile_size
             )
             res = restir_mod.initial_resampling(
-                k_i, ctx, tiles, sg(env_tex), env_dist, bvh,
+                k_i, ctx, tiles, sg(env_tex), env_dist, tracer,
                 static.restir_light_samples, static.restir_brdf_samples,
             )
             if prev_res is not None:
@@ -170,15 +179,15 @@ def render_stage1(
                 )
             res = restir_mod.spatial_resampling(
                 k_sp, ctx, res, sg(env_tex), static.H, static.W, offsets,
-                bvh=bvh, n_neighbors=static.restir_neighbors,
+                tracer=tracer, n_neighbors=static.restir_neighbors,
                 unbiased=static.restir_unbiased_spatial,
             )
             prev_res = res
-            light = restir_mod.evaluate_final_samples(ctx, res, env_tex, bvh)
+            light = restir_mod.evaluate_final_samples(ctx, res, env_tex, tracer)
         else:
             light = pathtracer.sample_direct_mis(
                 k_s, sg(xyzs), sg(normal), gb.view_dir, gb.mask, sg(kd_shade),
-                sg(rough), sg(metal), env_tex, env_dist, bvh,
+                sg(rough), sg(metal), env_tex, env_dist, tracer,
             )
         color_s, diff_s, spec_s = pathtracer.shade_direct(
             light, gb.mask, normal, gb.view_dir, kd_shade, rough, metal, env_bg
@@ -186,7 +195,7 @@ def render_stage1(
         ind_s = pathtracer.render_indirect(
             jax.random.fold_in(k_ind, s), gb.mask, sg(xyzs), sg(normal),
             gb.view_dir, sg(kd_shade), sg(rough), sg(metal),
-            bvh, sg(verts), tris, material_fn,
+            tracer, sg(verts), tris, material_fn,
             env_tex, env_dist, bounces=static.bounces,
         )
         diffs.append(diff_s)

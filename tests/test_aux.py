@@ -73,7 +73,7 @@ def test_dump_renderer_matches_mc_direct():
 
     out = render_dump(
         jnp.zeros((P, 3)), normal, view, jnp.ones((P,), bool),
-        kd, rough, metal, env, bvh=None,
+        kd, rough, metal, env, tracer=None,
     )
 
     # MC reference with uniform hemisphere sampling

@@ -80,13 +80,13 @@ def _estimate(ctx, env, dist, key, n_runs, use_temporal, use_spatial):
         k1, k2, k3, k4, k5 = jax.random.split(k, 5)
         tiles = restir.generate_light_tiles(k1, env, dist, n_tiles=8, tile_size=128)
         res = restir.initial_resampling(
-            k2, ctx, tiles, env, dist, bvh=None, n_light_samples=8,
+            k2, ctx, tiles, env, dist, tracer=None, n_light_samples=8,
             n_brdf_samples=1, check_visibility=False,
         )
         if use_temporal:
             # synthetic "previous frame" = independent initial reservoir
             prev = restir.initial_resampling(
-                k4, ctx, tiles, env, dist, bvh=None, n_light_samples=8,
+                k4, ctx, tiles, env, dist, tracer=None, n_light_samples=8,
                 n_brdf_samples=1, check_visibility=False,
             )
             res = restir.temporal_resampling(
@@ -94,7 +94,7 @@ def _estimate(ctx, env, dist, key, n_runs, use_temporal, use_spatial):
             )
         if use_spatial:
             res = restir.spatial_resampling(
-                k3, ctx, res, env, H_IMG, W_IMG, offsets, bvh=None,
+                k3, ctx, res, env, H_IMG, W_IMG, offsets, tracer=None,
                 n_neighbors=3, unbiased=False,
             )
         light = restir.evaluate_final_samples(ctx, res, env, None, check_visibility=False)
