@@ -135,9 +135,29 @@ def _finish(cm, best_lin, best_t, best_u, best_v, t_max_arr, verts_geom=None):
     )
 
 
+def _intersect_dense_pallas(cm: ClusterMesh, rays_o, rays_d, t_min, t_max_arr):
+    """Dense pass through the Pallas MT kernel (TPU: triangle blocks resident
+    in VMEM across ray tiles; ~2x the fused-XLA version, ~250x the LBVH)."""
+    from .pallas_tracer import BM, pallas_dense_hit
+
+    M = cm.soa.shape[1]
+    pad = (-M) % BM
+    cm16 = jnp.zeros((16, M + pad), jnp.float32)
+    cm16 = cm16.at[:10, :M].set(cm.soa)
+    if pad:
+        cm16 = cm16.at[9, M:].set(-1.0)
+    best_t, best_lin, u, v = pallas_dense_hit(cm16, rays_o, rays_d, t_min=t_min)
+    best_t = jnp.where(best_t >= 1e29, jnp.inf, best_t)
+    best_t = jnp.where(best_t <= t_max_arr, best_t, jnp.inf)
+    best_lin = jnp.clip(best_lin, 0, M - 1)
+    return _finish(cm, best_lin, best_t, u, v, t_max_arr)
+
+
 def _intersect_dense(cm: ClusterMesh, rays_o, rays_d, t_min, t_max_arr,
                      chunk: int = 2048):
     """One dense pass over every triangle (small meshes)."""
+    if jax.default_backend() not in ("cpu",):
+        return _intersect_dense_pallas(cm, rays_o, rays_d, t_min, t_max_arr)
     N = rays_o.shape[0]
     M = cm.soa.shape[1]
     ox, oy, oz = rays_o[:, 0:1], rays_o[:, 1:2], rays_o[:, 2:3]

@@ -123,3 +123,27 @@ def test_occlusion_distances(sphere_mesh):
     o = jnp.zeros((64, 3))
     assert bool(occluded(bvh, o, d, 1.0).all())       # sphere at r=0.5 blocks
     assert not bool(occluded(bvh, o, d, 0.3).any())   # nothing inside r=0.3
+
+
+def test_pallas_dense_tracer_matches_brute_force(sphere_mesh):
+    """Pallas MT kernel (interpret mode on CPU) vs brute force."""
+    from mirres_restir_nerf_mesh_tpu.ops.pallas_tracer import pallas_intersect
+
+    v, t = sphere_mesh
+    v, t = decimate(v, t, 400)
+    rng = np.random.RandomState(3)
+    R = 64
+    o = rng.randn(R, 3)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 2.0
+    d = rng.randn(R, 3) * 0.2 - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    hit = pallas_intersect(jnp.asarray(v), jnp.asarray(t),
+                           jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
+    bt, bp = _brute_force(o.astype(np.float32), d.astype(np.float32), v, t)
+    ht = np.asarray(hit.t)
+    agree = np.isclose(
+        np.where(np.isinf(ht), 1e30, ht), np.where(np.isinf(bt), 1e30, bt), atol=1e-4
+    )
+    assert agree.mean() > 0.999
+    assert (np.asarray(hit.prim) == bp).mean() > 0.95
