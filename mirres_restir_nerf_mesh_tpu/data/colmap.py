@@ -174,7 +174,34 @@ def load_colmap(
         images = np.zeros((len(keys), H, W, 3), np.float32)
 
     mvps = compute_mvps(poses, intrinsics, H, W, bound)
-    fd = FrameData(images=images, poses=poses, intrinsics=intrinsics, H=H, W=W, mvps=mvps)
+
+    # optional dense-depth supervision: precomputed <root>/depths/<name>.npy
+    # (reference colmap_provider.py:272-310; maps are scaled by the same
+    # scene normalization)
+    depths = None
+    ddir = os.path.join(root, "depths")
+    if with_images and os.path.isdir(ddir):
+        maps = []
+        ok = True
+        for k in keys:
+            base = os.path.splitext(images_meta[k]["name"])[0]
+            pth = os.path.join(ddir, base + ".npy")
+            if not os.path.exists(pth):
+                ok = False
+                break
+            dm = np.load(pth).astype(np.float32)
+            if dm.shape != (H, W):
+                from PIL import Image as _Im
+
+                dm = np.asarray(
+                    _Im.fromarray(dm).resize((W, H), _Im.BILINEAR), np.float32
+                )
+            maps.append(dm * scale)
+        if ok and maps:
+            depths = np.stack(maps)
+
+    fd = FrameData(images=images, poses=poses, intrinsics=intrinsics, H=H, W=W,
+                   mvps=mvps, depths=depths)
     fd.pts3d = pts3d  # sparse points for near/far + aabb estimation
     return fd
 

@@ -43,6 +43,7 @@ class FrameData:
     H: int
     W: int
     mvps: np.ndarray        # [N, 4, 4] proj @ world2cam, for rasterization
+    depths: Optional[np.ndarray] = None  # [N, H, W] metric depth supervision
 
     @property
     def num_frames(self) -> int:
@@ -123,21 +124,44 @@ class RayDataset:
     white or random background per the reference's training scheme.
     """
 
-    def __init__(self, data: FrameData, bound: float, background: str = "white"):
+    def __init__(self, data: FrameData, bound: float, background: str = "white",
+                 patch_size: int = 1):
         self.data = data
         self.H, self.W = data.H, data.W
         self.background = background
+        self.patch_size = patch_size
         self.images = jnp.asarray(data.images)
         self.poses = jnp.asarray(data.poses)
         self.intrinsics = jnp.asarray(data.intrinsics)
         self.mvps = jnp.asarray(data.mvps)
         self.bound = bound
+        # optional per-frame depth supervision (colmap dense/sparse depth,
+        # reference colmap_provider.py:272-310)
+        depths = getattr(data, "depths", None)
+        self.depths = jnp.asarray(depths) if depths is not None else None
 
     def sample(self, key: jax.Array, num_rays: int) -> Dict[str, jnp.ndarray]:
         k_img, k_pix, k_bg = jax.random.split(key, 3)
         n_frames = self.images.shape[0]
-        img_idx = jax.random.randint(k_img, (num_rays,), 0, n_frames)
-        pix_idx = jax.random.randint(k_pix, (num_rays,), 0, self.H * self.W)
+        if self.patch_size > 1:
+            # patch sampling for perceptual losses (reference utils.py:384-401)
+            p = self.patch_size
+            n_patch = num_rays // (p * p)
+            img_idx = jnp.repeat(
+                jax.random.randint(k_img, (n_patch,), 0, n_frames), p * p
+            )
+            kx, ky = jax.random.split(k_pix)
+            px = jax.random.randint(kx, (n_patch,), 0, self.H - p)
+            py = jax.random.randint(ky, (n_patch,), 0, self.W - p)
+            oi, oj = jnp.meshgrid(jnp.arange(p), jnp.arange(p), indexing="ij")
+            pix_idx = (
+                (px[:, None] + oi.reshape(-1)[None]) * self.W
+                + (py[:, None] + oj.reshape(-1)[None])
+            ).reshape(-1)
+            num_rays = pix_idx.shape[0]
+        else:
+            img_idx = jax.random.randint(k_img, (num_rays,), 0, n_frames)
+            pix_idx = jax.random.randint(k_pix, (num_rays,), 0, self.H * self.W)
 
         flat = self.images.reshape(n_frames, self.H * self.W, -1)
         rgba = flat[img_idx, pix_idx]  # [N, C]
@@ -163,7 +187,7 @@ class RayDataset:
         rays_d = jnp.einsum("nij,nj->ni", R, dirs_cam)
         rays_o = self.poses[img_idx, :3, 3]
 
-        return {
+        out = {
             "rays_o": rays_o,
             "rays_d": rays_d,
             "pixels": rgb,
@@ -171,10 +195,24 @@ class RayDataset:
             "bg_color": bg,
             "index": img_idx,
         }
+        if self.depths is not None:
+            out["depth"] = self.depths.reshape(n_frames, -1)[img_idx, pix_idx]
+        return out
 
-    def frame_rays(self, idx: int) -> Dict[str, jnp.ndarray]:
-        """All rays of one frame, for eval/test rendering."""
-        res = get_rays(self.poses[idx : idx + 1], self.data.intrinsics, self.H, self.W)
+    def frame_rays(self, idx: int, ssaa: int = 1) -> Dict[str, jnp.ndarray]:
+        """All rays of one frame, for eval/test rendering.
+
+        ssaa > 1 emits a supersampled ray grid (H*ssaa x W*ssaa) with scaled
+        intrinsics (reference renderer.py:936-944 SSAA upsample); callers box-
+        downsample the rendered buffers. Ground-truth pixels stay at base res.
+        """
+        if ssaa > 1:
+            intr = self.data.intrinsics * ssaa
+            res = get_rays(
+                self.poses[idx : idx + 1], intr, self.H * ssaa, self.W * ssaa
+            )
+        else:
+            res = get_rays(self.poses[idx : idx + 1], self.data.intrinsics, self.H, self.W)
         img = self.images[idx]
         rgba = img.reshape(-1, img.shape[-1])
         if rgba.shape[-1] == 4:

@@ -227,3 +227,27 @@ def composite_rays(
     depth = jnp.sum(w * ts, axis=-1)
     image = jnp.sum(w[..., None] * rgbs, axis=-2)
     return CompositeResult(weights=w, weights_sum=weights_sum, depth=depth, image=image)
+
+
+def sph_from_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """Background-sphere (theta, phi) coordinates where each ray exits a
+    sphere of `radius` (reference raymarching.cu:163-211 kernel_sph_from_ray;
+    unused on the reference's main path, kept for API parity)."""
+    b = jnp.sum(rays_o * rays_d, axis=-1)
+    c = jnp.sum(rays_o * rays_o, axis=-1) - radius * radius
+    disc = jnp.maximum(b * b - c, 0.0)
+    t = -b + jnp.sqrt(disc)
+    p = rays_o + rays_d * t[:, None]
+    theta = jnp.arctan2(jnp.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2), p[:, 2])
+    phi = jnp.arctan2(p[:, 1], p[:, 0])
+    return jnp.stack([theta, phi], axis=-1)
+
+
+def flatten_rays(counts: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Per-point ray index from per-ray sample counts (reference
+    raymarching.cu:303-334 kernel_flatten_rays). The TPU pipeline keeps the
+    [N, K] layout so this is only needed for exporting point-major data."""
+    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+    out = jnp.zeros((total,), jnp.int32)
+    out = out.at[jnp.clip(offsets[1:], 0, total - 1)].add(1)
+    return jnp.cumsum(out)

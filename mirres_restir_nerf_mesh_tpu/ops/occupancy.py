@@ -130,3 +130,19 @@ def mark_untrained_grid(
     grid = jnp.stack(grids).reshape(state.density_grid.shape)
     occ = (grid > jnp.minimum(state.mean_density, 1e10)).astype(jnp.uint8)
     return OccupancyState(density_grid=grid, occ=state.occ, mean_density=state.mean_density)
+
+
+def packbits(occ: jnp.ndarray) -> jnp.ndarray:
+    """Pack the uint8 occupancy volume into a bitfield (1 bit/cell), matching
+    the reference's storage format (raymarching.cu:268-300 kernel_packbits).
+    The TPU marcher gathers bytes directly; this is for compact checkpoints
+    and format parity."""
+    flat = (occ.reshape(-1, 8) > 0).astype(jnp.uint8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint8))[None, :]
+    return jnp.sum(flat * weights, axis=1, dtype=jnp.uint8)
+
+
+def unpackbits(bits: jnp.ndarray, shape) -> jnp.ndarray:
+    """Inverse of packbits -> uint8 0/1 volume of `shape`."""
+    b = bits[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :]
+    return (b & 1).astype(jnp.uint8).reshape(shape)

@@ -72,6 +72,10 @@ class Stage1Static:
     tracer: str = "cluster"
     cluster_size: int = 128
 
+    # supersampling factor baked into H/W (H,W here are ALREADY multiplied
+    # by ssaa; the trainer box-downsamples outputs to GT resolution)
+    ssaa: int = 1
+
 
 def act_voffsets(vo: jnp.ndarray) -> jnp.ndarray:
     """Identity activation (reference nerf/utils.py:340-347 act_voffsets)."""

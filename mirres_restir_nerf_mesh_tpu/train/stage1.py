@@ -112,6 +112,21 @@ def stage1_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     out = render_stage1(params, static, base_verts, batch["rays_o"], batch["rays_d"], key)
 
+    # SSAA: render_stage1 ran at (H*s, W*s); box-downsample the image buffers
+    # to the GT resolution (reference renderer.py:1264-1290 SSAA downscale)
+    s = static.ssaa if static.ssaa > 1 and static.H > 0 else 1
+    if s > 1:
+        Hs, Ws = static.H // s, static.W // s
+
+        def down(x):
+            c = x.shape[-1] if x.ndim == 2 else 1
+            return x.reshape(Hs, s, Ws, s, -1).mean(axis=(1, 3)).reshape(Hs * Ws, -1)
+
+        for k in ("image", "image_brdf", "diffuse_light", "specular_light",
+                  "img_brdf_indirect"):
+            out[k] = down(out[k])
+        out["weights_sum"] = down(out["weights_sum"][:, None])[:, 0]
+
     gt = batch["pixels"]
     gt_linear = batch.get("pixels_linear", gt)
     loss = cfg.lambda_rgb * jnp.mean((out["image"] - gt) ** 2)
@@ -151,6 +166,11 @@ def stage1_loss(
     # renderer.py:1376-1396 update_triangles_errors)
     n_faces = int(static.tris.shape[0])
     pix_err = jax.lax.stop_gradient(jnp.mean(jnp.abs(out["image"] - gt), axis=-1))
+    if s > 1:
+        # broadcast the per-(downsampled)-pixel error back to the
+        # supersampled lattice where face ids live
+        Hs, Ws = static.H // s, static.W // s
+        pix_err = jnp.repeat(jnp.repeat(pix_err.reshape(Hs, Ws), s, 0), s, 1).reshape(-1)
     fid = jnp.where(out["mask"], out["face_id"], n_faces)  # drop misses
     face_err = jax.ops.segment_sum(
         jnp.where(out["mask"], pix_err, 0.0), fid, num_segments=n_faces + 1

@@ -88,7 +88,8 @@ class Trainer:
             max_vals=tuple(cfg.kd_max[:3]) + tuple(cfg.ks_max),
             compute_dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
         )
-        H, W = self.train_data.H, self.train_data.W
+        ssaa = max(int(cfg.ssaa), 1)
+        H, W = self.train_data.H * ssaa, self.train_data.W * ssaa
         de = 4 if cfg.use_restir else 0
         self.static = Stage1Static(
             tris=jnp.asarray(tris), nerf_spec=self.nerf_spec, mat_spec=mat_spec,
@@ -104,6 +105,7 @@ class Trainer:
             restir_history=float(cfg.restir_max_history_length),
             denoise_iters=de, denoise_bilateral=cfg.use_bi_de,
             enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
+            ssaa=ssaa,
         )
 
         # stage-1 bootstraps from stage-0 best (utils.py:871-873)
@@ -210,7 +212,9 @@ class Trainer:
                     self.save_checkpoint(best=True)
 
     def _stage1_batch(self, i: int) -> Dict[str, jnp.ndarray]:
-        f = self.sampler.frame_rays(i % self.train_data.num_frames)
+        f = self.sampler.frame_rays(
+            i % self.train_data.num_frames, ssaa=max(int(self.cfg.ssaa), 1)
+        )
         return {
             "rays_o": f["rays_o"], "rays_d": f["rays_d"],
             "pixels": f["pixels"], "alpha": f["alpha"],
@@ -230,7 +234,8 @@ class Trainer:
         return res
 
     def _render_eval_frame(self, sampler: RayDataset, idx: int):
-        f = sampler.frame_rays(idx)
+        ssaa = max(int(self.cfg.ssaa), 1) if self.cfg.stage == 1 else 1
+        f = sampler.frame_rays(idx, ssaa=ssaa)
         H, W = sampler.H, sampler.W
         gt = np.asarray(f["pixels"]).reshape(H, W, 3)
         if self.cfg.stage == 0:
@@ -257,7 +262,10 @@ class Trainer:
                 relight_env=relight_env, albedo_scale=albedo_scale,
                 exposure_scale=exposure,
             )
-            img = np.asarray(out["image_brdf"] if self.cfg.use_brdf else out["image"]).reshape(H, W, 3)
+            img = np.asarray(out["image_brdf"] if self.cfg.use_brdf else out["image"])
+            img = img.reshape(H * ssaa, W * ssaa, 3)
+            if ssaa > 1:
+                img = img.reshape(H, ssaa, W, ssaa, 3).mean(axis=(1, 3))
         return np.clip(img, 0, 1), gt
 
     def _relight_env(self):
