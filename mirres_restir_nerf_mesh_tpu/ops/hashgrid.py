@@ -17,6 +17,7 @@ Layout notes (matching the reference exactly so hyperparameters transfer):
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -26,6 +27,37 @@ import jax.numpy as jnp
 import numpy as np
 
 _PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows(emb: jnp.ndarray, idx: jnp.ndarray, offset: int, size: int):
+    """Table-row gather whose backward uses the Pallas MXU one-hot
+    scatter-add (ops/pallas_scatter.py) instead of XLA's serialized
+    scatter (~50ns/row): the hash-grid backward is the dominant stage-0
+    cost. idx holds ABSOLUTE row ids (level offset already added)."""
+    return jnp.take(emb, idx, axis=0)
+
+
+def _gather_rows_fwd(emb, idx, offset, size):
+    return jnp.take(emb, idx, axis=0), (idx, emb.shape[0])
+
+
+def _gather_rows_bwd(offset, size, res, g):
+    idx, n_rows = res
+    C = g.shape[-1]
+    if jax.default_backend() == "cpu":
+        full = jnp.zeros((n_rows, C), g.dtype).at[idx.reshape(-1)].add(g.reshape(-1, C))
+        return (full, None)
+    from .pallas_scatter import pallas_scatter_add
+
+    local = pallas_scatter_add(
+        (idx.reshape(-1) - offset).astype(jnp.int32), g.reshape(-1, C), size, C
+    )
+    full = jax.lax.dynamic_update_slice(jnp.zeros((n_rows, C), g.dtype), local, (offset, 0))
+    return (full, None)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 @dataclass(frozen=True)
@@ -130,7 +162,7 @@ def _level_lookup(
         idx = (pgc[..., 0] * primes[0]) ^ (pgc[..., 1] * primes[1]) ^ (pgc[..., 2] * primes[2])
     idx = (idx % jnp.uint32(size)).astype(jnp.int32)
 
-    vals = jnp.take(embeddings, jnp.int32(offset) + idx, axis=0)  # [N,8,C]
+    vals = _gather_rows(embeddings, jnp.int32(offset) + idx, offset, size)  # [N,8,C]
 
     w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
     w = w[..., 0] * w[..., 1] * w[..., 2]  # [N,8]
@@ -172,7 +204,7 @@ def _level_lookup_stochastic(
         primes = jnp.asarray(_PRIMES)
         idx = (pgc[..., 0] * primes[0]) ^ (pgc[..., 1] * primes[1]) ^ (pgc[..., 2] * primes[2])
     idx = (idx % jnp.uint32(size)).astype(jnp.int32)
-    return jnp.take(embeddings, jnp.int32(offset) + idx, axis=0)
+    return _gather_rows(embeddings, jnp.int32(offset) + idx, offset, size)
 
 
 def hashgrid_encode(
