@@ -50,6 +50,9 @@ def config_from_args(argv=None) -> Config:
         v = getattr(args, f.name, f.default)
         if isinstance(f.default, tuple) and isinstance(v, list):
             v = tuple(v)
+        if f.name == "scene_aabb" and isinstance(v, str):
+            # comma-separated floats (argparse can't take negative nargs)
+            v = None if v in ("None", "") else tuple(float(x) for x in v.split(","))
         kwargs[f.name] = v
     return finalize(Config(**kwargs))
 

@@ -180,6 +180,10 @@ class Config:
     mesh_shape: Tuple[int, ...] = (1,)       # device mesh, data axis over rays/pixels
     mesh_axis_names: Tuple[str, ...] = ("data",)
 
+    # scene AABB override (e.g. from COLMAP sparse points,
+    # reference main.py:279-280 model.update_aabb); None = [-bound, bound]^3
+    scene_aabb: Optional[Tuple[float, ...]] = None
+
     # derived (filled by finalize)
     kd_min: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
     kd_max: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)

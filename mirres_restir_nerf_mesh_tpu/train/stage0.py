@@ -68,6 +68,8 @@ def init_state(key: jax.Array, cfg: Config, spec: nerf_model.NeRFSpec) -> TrainS
 
 
 def _aabb(cfg: Config) -> jnp.ndarray:
+    if cfg.scene_aabb is not None:
+        return jnp.asarray(cfg.scene_aabb, jnp.float32)
     b = cfg.bound
     return jnp.array([-b, -b, -b, b, b, b], jnp.float32)
 

@@ -48,6 +48,14 @@ class Trainer:
         self.global_step = 0
         self.best_metric = -1e9
 
+        # colmap sparse points give a tighter scene AABB (main.py:279-280)
+        pts = getattr(train_data, "pts3d", None)
+        if cfg.stage == 0 and pts is not None and len(pts) > 0 and cfg.scene_aabb is None:
+            lo = np.clip(np.percentile(pts, 0.5, axis=0), -cfg.bound, cfg.bound)
+            hi = np.clip(np.percentile(pts, 99.5, axis=0), -cfg.bound, cfg.bound)
+            cfg.scene_aabb = tuple(np.concatenate([lo, hi]).tolist())
+            self.log(f"[aabb] from sparse points: {cfg.scene_aabb}")
+
         if cfg.stage == 0:
             self.state = stage0.init_state(self._next_key(), cfg, self.nerf_spec)
             self.train_step = stage0.make_train_step(cfg, self.nerf_spec, self.sampler)
