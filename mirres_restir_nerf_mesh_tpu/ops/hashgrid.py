@@ -268,6 +268,7 @@ def hashgrid_tv_loss(
     x: jnp.ndarray,
     spec: HashGridSpec,
     bound: float = 1.0,
+    max_points: int = 4096,
 ) -> jnp.ndarray:
     """Total-variation regularizer at sampled points.
 
@@ -277,6 +278,11 @@ def hashgrid_tv_loss(
     along each axis at every level.  Expressed as a loss so XLA autodiff
     produces the scatter-add the CUDA kernel hand-writes.
     """
+    # subsample: a regularizer at weight ~1e-8 does not need every marched
+    # point, and the gathers/scatters it induces would otherwise rival the
+    # main loss (points arrive in random ray order, so a prefix is unbiased)
+    if x.shape[0] > max_points:
+        x = x[:max_points]
     x01 = jnp.clip((x + bound) / (2.0 * bound), 0.0, 1.0)
     offsets, scales, resolutions, dense = spec.level_meta()
     primes = jnp.asarray(_PRIMES)
@@ -298,9 +304,9 @@ def hashgrid_tv_loss(
                 i = (p[..., 0] * primes[0]) ^ (p[..., 1] * primes[1]) ^ (p[..., 2] * primes[2])
             return (i % jnp.uint32(size)).astype(jnp.int32) + off
 
-        base = jnp.take(embeddings, index_of(pg), axis=0)  # [N,C]
+        base = _gather_rows(embeddings, index_of(pg), off, size)  # [N,C]
         for d in range(3):
             nb = pg.at[:, d].add(jnp.uint32(1))
-            nbv = jnp.take(embeddings, index_of(nb), axis=0)
+            nbv = _gather_rows(embeddings, index_of(nb), off, size)
             total = total + jnp.mean((nbv - base) ** 2)
     return total

@@ -61,6 +61,19 @@ class Trainer:
             self.train_step = stage0.make_train_step(cfg, self.nerf_spec, self.sampler)
             self.occ_update = stage0.make_occ_update(cfg, self.nerf_spec)
             self.render_fn = stage0.make_render_fn(cfg, self.nerf_spec)
+            if cfg.mark_untrained:
+                # frustum-cull never-seen grid cells (-O preset;
+                # reference utils.py:1290-1291 -> renderer.py:1438)
+                from ..ops.occupancy import mark_untrained_grid
+
+                occ = mark_untrained_grid(
+                    self.state.occ, jnp.asarray(train_data.poses),
+                    jnp.asarray(train_data.intrinsics),
+                    train_data.W, train_data.H, cfg.bound,
+                )
+                self.state = self.state._replace(occ=occ)
+                n_marked = float(jnp.sum(occ.density_grid < 0))
+                self.log(f"[mark_untrained] {int(n_marked)} cells outside all frustums")
             if cfg.ckpt != "scratch":
                 self._try_resume(stage=0)
         else:
@@ -235,6 +248,12 @@ class Trainer:
         psnrs, ssims = [], []
         for i in range(n):
             img, gt = self._render_eval_frame(sampler, i)
+            if self.cfg.eval_use_gt_mask and sampler.data.images.shape[-1] == 4:
+                # mask both images by the GT alpha before metrics
+                # (reference --eval_use_gt_mask)
+                m = np.asarray(sampler.data.images[i, ..., 3:4]) > 0.5
+                img = np.where(m, img, 1.0)
+                gt = np.where(m, gt, 1.0)
             psnrs.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
             ssims.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gt))))
         res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}

@@ -185,3 +185,22 @@ def test_data_parallel_render_matches_single_device():
     )
     loss_sharded = loss_fn(state_r.params, state_r.occ.occ, batch_s, key_r, state_r.step)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=2e-4)
+
+
+def test_mark_untrained_grid_culls_unseen_cells():
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import orbit_pose
+    from mirres_restir_nerf_mesh_tpu.ops.occupancy import init_occupancy, mark_untrained_grid
+
+    state = init_occupancy(cascade=1, grid_size=16)
+    # single camera at +z looking at origin with a narrow fov: cells behind
+    # the camera / outside the frustum must be marked -1
+    pose = orbit_pose(np.pi / 2, 0.0, 2.0)[None]  # on +z axis
+    intr = np.array([100.0, 100.0, 16.0, 16.0], np.float32)  # narrow 32x32 image
+    out = mark_untrained_grid(
+        state, jnp.asarray(pose), jnp.asarray(intr), W=32, H_img=32, bound=1.0
+    )
+    marked = float(jnp.mean((out.density_grid < 0).astype(jnp.float32)))
+    assert marked > 0.3, marked   # most of the box is outside a narrow frustum
+    # cells near the origin (image center) stay trainable
+    c = 8
+    assert float(out.density_grid[0, c, c, c]) >= 0
