@@ -91,3 +91,41 @@ def perspective_matrix(fovy_rad: float, aspect: float, near: float, far: float) 
         ],
         dtype=np.float32,
     )
+
+
+def create_dodecahedron_cameras(radius: float = 2.5, center=(0, 0, 0)) -> np.ndarray:
+    """20 cam2world poses at dodecahedron vertices looking at the center
+    (reference nerf/utils.py create_dodecahedron_cameras, used for test
+    trajectories when a dataset has no test split)."""
+    phi = (1 + np.sqrt(5)) / 2
+    verts = []
+    for s1 in (-1, 1):
+        for s2 in (-1, 1):
+            for s3 in (-1, 1):
+                verts.append([s1, s2, s3])
+    for s1 in (-1, 1):
+        for s2 in (-1, 1):
+            verts.append([0, s1 / phi, s2 * phi])
+            verts.append([s1 / phi, s2 * phi, 0])
+            verts.append([s1 * phi, 0, s2 / phi])
+    verts = np.unique(np.array(verts, np.float32), axis=0)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
+    verts = verts + np.asarray(center, np.float32)
+
+    poses = []
+    for v in verts:
+        forward = -(v - np.asarray(center, np.float32))
+        forward = forward / (np.linalg.norm(forward) + 1e-9)
+        up = np.array([0, 1, 0], np.float32)
+        if abs(np.dot(forward, up)) > 0.99:
+            up = np.array([1, 0, 0], np.float32)
+        right = np.cross(forward, up)
+        right /= np.linalg.norm(right) + 1e-9
+        up = np.cross(right, forward)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 0] = right
+        pose[:3, 1] = up
+        pose[:3, 2] = -forward
+        pose[:3, 3] = v
+        poses.append(pose)
+    return np.stack(poses)

@@ -304,9 +304,12 @@ def hashgrid_tv_loss(
                 i = (p[..., 0] * primes[0]) ^ (p[..., 1] * primes[1]) ^ (p[..., 2] * primes[2])
             return (i % jnp.uint32(size)).astype(jnp.int32) + off
 
-        base = _gather_rows(embeddings, index_of(pg), off, size)  # [N,C]
+        # plain take here: with the 4096-point subsample the XLA scatter in
+        # its backward is cheap, while routing through _gather_rows would
+        # materialize a full-size grad array per level (64 of them)
+        base = jnp.take(embeddings, index_of(pg), axis=0)  # [N,C]
         for d in range(3):
             nb = pg.at[:, d].add(jnp.uint32(1))
-            nbv = _gather_rows(embeddings, index_of(nb), off, size)
+            nbv = jnp.take(embeddings, index_of(nb), axis=0)
             total = total + jnp.mean((nbv - base) ** 2)
     return total
