@@ -246,8 +246,15 @@ class Trainer:
         sampler = RayDataset(data, bound=self.cfg.bound) if data is not None else self.sampler
         n = min(sampler.data.num_frames, max_frames)
         psnrs, ssims = [], []
+        psnrs_brdf = []
         for i in range(n):
             img, gt = self._render_eval_frame(sampler, i)
+            if self.cfg.stage == 1 and self.cfg.use_brdf:
+                # twin meters: NeRF image AND BRDF image
+                # (reference PSNRMeter + PSNRMeter_brdf, utils.py:477-708)
+                img_nerf, _ = self._render_eval_frame(sampler, i, which="image")
+                psnrs_brdf.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
+                img = img_nerf
             if self.cfg.eval_use_gt_mask and sampler.data.images.shape[-1] == 4:
                 # mask both images by the GT alpha before metrics
                 # (reference --eval_use_gt_mask)
@@ -257,10 +264,12 @@ class Trainer:
             psnrs.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
             ssims.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gt))))
         res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+        if psnrs_brdf:
+            res["psnr_brdf"] = float(np.mean(psnrs_brdf))
         self.log(f"[eval] {res}")
         return res
 
-    def _render_eval_frame(self, sampler: RayDataset, idx: int):
+    def _render_eval_frame(self, sampler: RayDataset, idx: int, which: str = "auto"):
         ssaa = max(int(self.cfg.ssaa), 1) if self.cfg.stage == 1 else 1
         f = sampler.frame_rays(idx, ssaa=ssaa)
         H, W = sampler.H, sampler.W
@@ -289,7 +298,11 @@ class Trainer:
                 relight_env=relight_env, albedo_scale=albedo_scale,
                 exposure_scale=exposure,
             )
-            img = np.asarray(out["image_brdf"] if self.cfg.use_brdf else out["image"])
+            key_name = (
+                "image" if which == "image"
+                else ("image_brdf" if (self.cfg.use_brdf and which != "image") else "image")
+            )
+            img = np.asarray(out[key_name])
             img = img.reshape(H * ssaa, W * ssaa, 3)
             if ssaa > 1:
                 img = img.reshape(H, ssaa, W, ssaa, 3).mean(axis=(1, 3))
