@@ -239,7 +239,8 @@ def intersect_clusters(
     found = jnp.zeros((N,), bool)
     done = jnp.zeros((N,), bool)
 
-    for k in range(K):
+    def round_k(k, carry):
+        best_t, best_lin, best_u, best_v, found, done = carry
         cid = cand[:, k]
         ent = cand_entry[:, k]
         active = ~done & jnp.isfinite(ent) & (ent <= best_t)
@@ -260,7 +261,25 @@ def intersect_clusters(
             done = done | found
         nxt = cand_entry[:, min(k + 1, K - 1)]
         done = done | ~jnp.isfinite(nxt) | (nxt > best_t) | (k + 1 >= K)
+        return best_t, best_lin, best_u, best_v, found, done
 
+    # most rays resolve in the first few entry-ordered candidates; run those
+    # unrolled, then gate the tail rounds behind a batch-level cond so the
+    # common case skips their gathers/tests entirely
+    HEAD = min(4, K)
+    carry = (best_t, best_lin, best_u, best_v, found, done)
+    for k in range(HEAD):
+        carry = round_k(k, carry)
+
+    if K > HEAD:
+        def tail(carry):
+            for k in range(HEAD, K):
+                carry = round_k(k, carry)
+            return carry
+
+        carry = jax.lax.cond(jnp.all(carry[5]), lambda c: c, tail, carry)
+
+    best_t, best_lin, best_u, best_v, found, done = carry
     best_t = jnp.where(found, best_t, jnp.inf)
     return _finish(cm, best_lin, best_t, best_u, best_v, t_max_arr)
 
