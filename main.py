@@ -97,12 +97,17 @@ def main(argv=None) -> None:
             trainer.export_stage1()
         return
 
-    trainer.train()
+    # val split for in-training eval + best-checkpoint selection
+    # (reference main.py:297-303 valid_loader)
     try:
         val = load_dataset(cfg, "val")
-        trainer.evaluate(val)
     except Exception as e:
         print(f"[warn] no val split: {e}")
+        val = None
+
+    trainer.train(valid_data=val)
+    if val is not None:
+        trainer.evaluate(val)
 
     if cfg.stage == 0 and not cfg.test_no_mesh:
         trainer.save_mesh()

@@ -35,15 +35,20 @@ class NeRFSpec:
     sh_degree: int = 4
     sdf: bool = False
     compute_dtype: Any = jnp.float32
+    # hash-grid knobs (reference defaults: 16L x 2ch, 2^19 table, 16->2048*bound)
+    grid_levels: int = 16
+    grid_log2_hashmap_size: int = 19
+    grid_base_resolution: int = 16
+    grid_desired_resolution: int = 0   # 0 -> 2048 * bound
 
     @property
     def grid(self) -> HashGridSpec:
         return HashGridSpec(
-            num_levels=16,
+            num_levels=self.grid_levels,
             level_dim=2,
-            base_resolution=16,
-            log2_hashmap_size=19,
-            desired_resolution=int(2048 * self.bound),
+            base_resolution=self.grid_base_resolution,
+            log2_hashmap_size=self.grid_log2_hashmap_size,
+            desired_resolution=self.grid_desired_resolution or int(2048 * self.bound),
             interpolation="linear",
         )
 

@@ -263,21 +263,13 @@ def intersect_clusters(
         done = done | ~jnp.isfinite(nxt) | (nxt > best_t) | (k + 1 >= K)
         return best_t, best_lin, best_u, best_v, found, done
 
-    # most rays resolve in the first few entry-ordered candidates; run those
-    # unrolled, then gate the tail rounds behind a batch-level cond so the
-    # common case skips their gathers/tests entirely
-    HEAD = min(4, K)
+    # fully unrolled candidate rounds: per-round work is already masked by
+    # `done`, and a batch-level lax.cond tail gate measured 5-10x SLOWER in
+    # the full stage-1 graph (round-1 bench regression) — the outlined branch
+    # blocks XLA fusion with the surrounding pipeline
     carry = (best_t, best_lin, best_u, best_v, found, done)
-    for k in range(HEAD):
+    for k in range(K):
         carry = round_k(k, carry)
-
-    if K > HEAD:
-        def tail(carry):
-            for k in range(HEAD, K):
-                carry = round_k(k, carry)
-            return carry
-
-        carry = jax.lax.cond(jnp.all(carry[5]), lambda c: c, tail, carry)
 
     best_t, best_lin, best_u, best_v, found, done = carry
     best_t = jnp.where(found, best_t, jnp.inf)
@@ -314,6 +306,10 @@ def _mt_rows(rows: jnp.ndarray, rays_o, rays_d, t_min):
     return jnp.where(ok, t, jnp.inf), u, v
 
 
-def occluded_clusters(cm: ClusterMesh, rays_o, rays_d, t_max, t_min: float = 1e-4):
-    res = intersect_clusters(cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=True)
+def occluded_clusters(cm: ClusterMesh, rays_o, rays_d, t_max, t_min: float = 1e-4,
+                      max_candidates: int = 10, dense_threshold: int = 8192):
+    res = intersect_clusters(
+        cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=True,
+        max_candidates=max_candidates, dense_threshold=dense_threshold,
+    )
     return res.prim >= 0

@@ -5,10 +5,11 @@ writes), which makes the hash-grid backward the dominant stage-0 cost. This
 kernel reformulates the accumulation as dense matmuls:
 
   table index -> (row = idx // 128, lane = idx % 128)
-  dTab[r, l*C + c] = sum_n  onehot(row_n)[r] * onehot(lane_n)[l] * upd[n, c]
-                   = (A^T @ B)[r, l*C + c]
+  dTab[r, c*128 + l] = sum_n  onehot(row_n)[r] * onehot(lane_n)[l] * upd[n, c]
+                     = (A^T @ B)[r, c*128 + l]
   A [Nc, R]   = one-hot rows       (bf16, built by iota compare on the VPU)
-  B [Nc, 128*C] = lane one-hot scaled by the update values
+  B [Nc, C*128] = per-channel blocks of the lane one-hot scaled by upd[:, c]
+  (the caller's reshape(R, C, LANES).transpose(0, 2, 1) undoes this layout)
 
 Each grid step processes one chunk of updates and accumulates into the same
 VMEM output block (init at step 0); the MXU does the heavy lifting instead of

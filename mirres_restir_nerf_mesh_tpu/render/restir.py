@@ -318,7 +318,9 @@ def spatial_resampling(
     ndir_all = n_res.dir.reshape(P, nn, 3)
 
     valid_count = jnp.sum(ok_all, axis=1).astype(jnp.float32)
-    canon_mis = jnp.sum(m1_all, axis=1)
+    # canonical MIS weight starts at 1 (SpatialResampling.slang:92-94
+    # canonicalWeight=1) and accumulates the defensive pairwise terms
+    canon_mis = 1.0 + jnp.sum(m1_all, axis=1)
     M = jnp.sum(M_all, axis=1)
 
     # --- sequential reservoir streaming over the (precomputed) neighbors ---
@@ -344,19 +346,15 @@ def spatial_resampling(
     sel_p = jnp.where(pick_c, p_canon, sel_p)
     picked_any = picked_any | pick_c
 
-    any_neighbors = valid_count > 0
+    # finalize division by validNeighbors = n_valid + 1 (the canonical sample
+    # itself counts, SpatialResampling.slang:153)
     Wn = jnp.where(
-        (sel_p > 0) & any_neighbors,
-        (w_sum / jnp.maximum(valid_count, 1.0)) / jnp.maximum(sel_p, 1e-12),
+        sel_p > 0,
+        (w_sum / (valid_count + 1.0)) / jnp.maximum(sel_p, 1e-12),
         0.0,
     )
     Wn = jnp.where(jnp.isfinite(Wn), Wn, 0.0)
-
-    # pixels with no valid neighbors keep their canonical reservoir
-    out_dir = jnp.where(any_neighbors[:, None], sel_dir, res.dir)
-    out_W = jnp.where(any_neighbors, Wn, res.W)
-    out_valid = jnp.where(any_neighbors, (Wn > 0) & ctx.mask, res.valid)
-    return Reservoir(dir=out_dir, W=out_W, M=res.M, valid=out_valid)
+    return Reservoir(dir=sel_dir, W=Wn, M=res.M, valid=(Wn > 0) & ctx.mask)
 
 
 def evaluate_final_samples(

@@ -71,6 +71,8 @@ class Stage1Static:
     # 'lbvh' (Karras LBVH, parity/reference backend)
     tracer: str = "cluster"
     cluster_size: int = 128
+    max_candidates: int = 10     # cluster-AABB candidates tested per ray
+    dense_threshold: int = 8192  # <=: single dense pass over all triangles
 
     # supersampling factor baked into H/W (H,W here are ALREADY multiplied
     # by ssaa; the trainer box-downsamples outputs to GT resolution)
@@ -101,6 +103,8 @@ def render_stage1(
     tracer = build_tracer(
         jax.lax.stop_gradient(verts), tris, kind=static.tracer,
         cluster_size=static.cluster_size,
+        max_candidates=static.max_candidates,
+        dense_threshold=static.dense_threshold,
     )
 
     gb = raycast_gbuffer(verts, tris, tracer, rays_o, rays_d)

@@ -54,15 +54,40 @@ def find_checkpoint(workspace: str, name: str, stage: int, which: str = "latest"
 
 
 def load_checkpoint(path: str, template: Any = None) -> Tuple[Any, int, dict]:
+    """Tolerant restore matching the reference's non-strict load_checkpoint
+    (nerf/utils.py:1938-2022): leaves are matched BY TREE PATH, and a saved
+    leaf is only taken when its shape and dtype agree with the template's —
+    mismatches (e.g. resuming a post-refine run whose V/F changed) keep the
+    template leaf and are reported, never silently restored wrong-shaped."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     state = payload["state"]
     if template is not None:
-        # restore into the template structure, tolerating missing leaves
-        flat_t, treedef = jax.tree_util.tree_flatten(template)
-        flat_s, _ = jax.tree_util.tree_flatten(state)
-        if len(flat_s) == len(flat_t):
-            state = jax.tree_util.tree_unflatten(
-                treedef, [np.asarray(s) for s in flat_s]
+        saved = {
+            jax.tree_util.keystr(kp): leaf
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+        }
+        flat_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+        out, skipped, missing = [], [], []
+        for kp, tleaf in flat_t:
+            ks = jax.tree_util.keystr(kp)
+            sleaf = saved.get(ks)
+            if sleaf is None:
+                missing.append(ks)
+                out.append(tleaf)
+                continue
+            sarr = np.asarray(sleaf)
+            tarr = np.asarray(tleaf)
+            if sarr.shape != tarr.shape or sarr.dtype != tarr.dtype:
+                skipped.append(f"{ks} {sarr.shape}/{sarr.dtype} != {tarr.shape}/{tarr.dtype}")
+                out.append(tleaf)
+            else:
+                out.append(sarr)
+        if skipped or missing:
+            print(
+                f"[checkpoint] tolerant restore of {path}: "
+                f"{len(skipped)} shape/dtype mismatches kept from template "
+                f"{skipped[:4]}, {len(missing)} leaves missing {missing[:4]}"
             )
+        state = jax.tree_util.tree_unflatten(treedef, out)
     return state, payload["step"], payload.get("extra", {})

@@ -126,6 +126,7 @@ class Trainer:
             restir_history=float(cfg.restir_max_history_length),
             denoise_iters=de, denoise_bilateral=cfg.use_bi_de,
             enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
+            compute_normal_ao=cfg.use_brdf and cfg.lambda_extra_kd > 0,
             ssaa=ssaa,
         )
 
@@ -189,7 +190,16 @@ class Trainer:
             self.log(f"[ckpt] resumed from {p} at step {step}")
 
     # ------------------------------------------------------------------ train
-    def train(self, max_steps: Optional[int] = None) -> None:
+    def train(
+        self,
+        max_steps: Optional[int] = None,
+        valid_data: Optional[FrameData] = None,
+        eval_max_frames: int = 8,
+    ) -> None:
+        """Training loop; when `valid_data` is given, runs evaluate() on the
+        val split every eval interval and keys the best checkpoint on the val
+        metric (reference nerf/utils.py:1885-1922) instead of the train-batch
+        PSNR fallback."""
         cfg = self.cfg
         steps = max_steps or cfg.iters
         eval_every = max(steps // max(cfg.n_eval, 1), 1)
@@ -227,7 +237,12 @@ class Trainer:
             if (i + 1) % save_every == 0 or i == steps - 1:
                 self.save_checkpoint()
             if (i + 1) % eval_every == 0:
-                metric = last.get("psnr_brdf", last.get("psnr", 0.0))
+                if valid_data is not None:
+                    ev = self.evaluate(valid_data, max_frames=eval_max_frames)
+                    metric = ev.get("psnr_brdf", ev.get("psnr", 0.0))
+                    self.metrics_writer.write(i + 1, **{f"val_{k}": v for k, v in ev.items()})
+                else:
+                    metric = last.get("psnr_brdf", last.get("psnr", 0.0))
                 if metric > self.best_metric:
                     self.best_metric = metric
                     self.save_checkpoint(best=True)
@@ -242,71 +257,97 @@ class Trainer:
         }
 
     # ----------------------------------------------------------------- eval
-    def evaluate(self, data: Optional[FrameData] = None, max_frames: int = 8) -> Dict[str, float]:
+    def evaluate(
+        self, data: Optional[FrameData] = None, max_frames: Optional[int] = None
+    ) -> Dict[str, float]:
+        """Twin meters: NeRF image AND BRDF image from ONE render per frame
+        (reference PSNRMeter + PSNRMeter_brdf, utils.py:477-708). With
+        --eval_use_gt_mask the GT alpha masks BOTH images before metrics."""
         sampler = RayDataset(data, bound=self.cfg.bound) if data is not None else self.sampler
-        n = min(sampler.data.num_frames, max_frames)
-        psnrs, ssims = [], []
-        psnrs_brdf = []
+        n = sampler.data.num_frames if max_frames is None else min(
+            sampler.data.num_frames, max_frames
+        )
+        lp = self._lpips()
+        acc: Dict[str, List[float]] = {}
         for i in range(n):
-            img, gt = self._render_eval_frame(sampler, i)
-            if self.cfg.stage == 1 and self.cfg.use_brdf:
-                # twin meters: NeRF image AND BRDF image
-                # (reference PSNRMeter + PSNRMeter_brdf, utils.py:477-708)
-                img_nerf, _ = self._render_eval_frame(sampler, i, which="image")
-                psnrs_brdf.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
-                img = img_nerf
+            outs, gt = self._render_eval_outputs(sampler, i)
+            img = outs["image"]
+            brdf = outs.get("image_brdf")
             if self.cfg.eval_use_gt_mask and sampler.data.images.shape[-1] == 4:
-                # mask both images by the GT alpha before metrics
-                # (reference --eval_use_gt_mask)
                 m = np.asarray(sampler.data.images[i, ..., 3:4]) > 0.5
                 img = np.where(m, img, 1.0)
                 gt = np.where(m, gt, 1.0)
-            psnrs.append(float(psnr_fn(jnp.asarray(img), jnp.asarray(gt))))
-            ssims.append(float(ssim_fn(jnp.asarray(img), jnp.asarray(gt))))
-        res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
-        if psnrs_brdf:
-            res["psnr_brdf"] = float(np.mean(psnrs_brdf))
+                if brdf is not None:
+                    brdf = np.where(m, brdf, 1.0)
+            gt_j = jnp.asarray(gt)
+            acc.setdefault("psnr", []).append(float(psnr_fn(jnp.asarray(img), gt_j)))
+            acc.setdefault("ssim", []).append(float(ssim_fn(jnp.asarray(img), gt_j)))
+            if lp is not None:
+                acc.setdefault("lpips", []).append(lp(img, gt))
+            if brdf is not None:
+                acc.setdefault("psnr_brdf", []).append(float(psnr_fn(jnp.asarray(brdf), gt_j)))
+                acc.setdefault("ssim_brdf", []).append(float(ssim_fn(jnp.asarray(brdf), gt_j)))
+                if lp is not None:
+                    acc.setdefault("lpips_brdf", []).append(lp(brdf, gt))
+        res = {k: float(np.mean(v)) for k, v in acc.items()}
         self.log(f"[eval] {res}")
         return res
 
-    def _render_eval_frame(self, sampler: RayDataset, idx: int, which: str = "auto"):
+    def _lpips(self):
+        if not hasattr(self, "_lpips_cache"):
+            from .metrics import lpips_fn
+
+            self._lpips_cache = lpips_fn()
+        return self._lpips_cache
+
+    def _downsample(self, x: np.ndarray, H: int, W: int, ssaa: int) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        c = x.shape[-1] if x.ndim > 1 else 1
+        x = x.reshape(H * ssaa, W * ssaa, -1)
+        if ssaa > 1:
+            x = x.reshape(H, ssaa, W, ssaa, -1).mean(axis=(1, 3))
+        return x if c > 1 else x[..., 0]
+
+    def _render_eval_outputs(self, sampler: RayDataset, idx: int):
+        """Render one frame; returns ({name: [H,W,C] np array}, gt)."""
         ssaa = max(int(self.cfg.ssaa), 1) if self.cfg.stage == 1 else 1
         f = sampler.frame_rays(idx, ssaa=ssaa)
         H, W = sampler.H, sampler.W
         gt = np.asarray(f["pixels"]).reshape(H, W, 3)
         if self.cfg.stage == 0:
-            img, _ = stage0.render_frame(self.state, self.render_fn, f["rays_o"], f["rays_d"], H, W)
-        else:
-            from ..render.stage1 import render_stage1
-
-            # relighting: swap envmap, scale albedo, apply exposure
-            # (reference renderer.py:1026,1087-1089,1126)
-            relight_env = None
-            albedo_scale = None
-            exposure = None
-            if self.cfg.test and self.cfg.envmap_path != "None":
-                relight_env = self._relight_env()
-                albedo_scale = jnp.array(
-                    [self.cfg.albedo_scale_x, self.cfg.albedo_scale_y, self.cfg.albedo_scale_z]
-                )
-            if self.cfg.use_hdr:
-                exposure = jnp.asarray(2.0 ** self.cfg.exposure)
-
-            out = render_stage1(
-                self.state.params, self.static, jnp.asarray(self.base_verts),
-                f["rays_o"], f["rays_d"], self._next_key(),
-                relight_env=relight_env, albedo_scale=albedo_scale,
-                exposure_scale=exposure,
+            img, depth = stage0.render_frame(
+                self.state, self.render_fn, f["rays_o"], f["rays_d"], H, W
             )
-            key_name = (
-                "image" if which == "image"
-                else ("image_brdf" if (self.cfg.use_brdf and which != "image") else "image")
+            return {"image": np.clip(np.asarray(img), 0, 1), "depth": np.asarray(depth)}, gt
+
+        from ..render.stage1 import render_stage1
+
+        # relighting: swap envmap, scale albedo, apply exposure
+        # (reference renderer.py:1026,1087-1089,1126)
+        relight_env = None
+        albedo_scale = None
+        exposure = None
+        if self.cfg.test and self.cfg.envmap_path != "None":
+            relight_env = self._relight_env()
+            albedo_scale = jnp.array(
+                [self.cfg.albedo_scale_x, self.cfg.albedo_scale_y, self.cfg.albedo_scale_z]
             )
-            img = np.asarray(out[key_name])
-            img = img.reshape(H * ssaa, W * ssaa, 3)
-            if ssaa > 1:
-                img = img.reshape(H, ssaa, W, ssaa, 3).mean(axis=(1, 3))
-        return np.clip(img, 0, 1), gt
+        if self.cfg.use_hdr:
+            exposure = jnp.asarray(2.0 ** self.cfg.exposure)
+
+        out = render_stage1(
+            self.state.params, self.static, jnp.asarray(self.base_verts),
+            f["rays_o"], f["rays_d"], self._next_key(),
+            relight_env=relight_env, albedo_scale=albedo_scale,
+            exposure_scale=exposure,
+        )
+        ds = lambda k: self._downsample(np.asarray(out[k]), H, W, ssaa)  # noqa: E731
+        outs = {"image": np.clip(ds("image"), 0, 1), "depth": ds("depth")}
+        if self.cfg.use_brdf:
+            outs["image_brdf"] = np.clip(ds("image_brdf"), 0, 1)
+            for k in ("kd", "ks", "normal", "diffuse_light", "specular_light"):
+                outs[k] = ds(k)
+        return outs, gt
 
     def _relight_env(self):
         if not hasattr(self, "_relight_env_cache"):
@@ -318,16 +359,33 @@ class Trainer:
         return self._relight_env_cache
 
     def test(self, data: Optional[FrameData] = None, out_dir: Optional[str] = None) -> None:
-        """Render the test trajectory and dump images (utils.py:1319-1397)."""
-        from PIL import Image
+        """Render the test trajectory and dump artifacts: rgb/brdf/depth pngs
+        plus kd/ks/normal/env_map/diffuse/specular EXRs per frame
+        (reference utils.py:1368-1377) — the inputs albedo_eval.py consumes."""
+        from ..utils.image_io import save_exr, save_png
 
         sampler = RayDataset(data, bound=self.cfg.bound) if data is not None else self.sampler
         out_dir = out_dir or os.path.join(self.workspace, "results")
         os.makedirs(out_dir, exist_ok=True)
+        exr_keys = {
+            "kd": "kd", "ks": "ks", "normal": "normal",
+            "diffuse_light": "diffuse", "specular_light": "specular",
+        }
         for i in range(sampler.data.num_frames):
-            img, _ = self._render_eval_frame(sampler, i)
-            Image.fromarray((img * 255).astype(np.uint8)).save(
-                os.path.join(out_dir, f"{self.name}_{i:04d}_rgb.png")
+            outs, _ = self._render_eval_outputs(sampler, i)
+            base = os.path.join(out_dir, f"{self.name}_{i:04d}")
+            save_png(base + "_rgb.png", outs["image"])
+            d = outs["depth"]
+            save_png(base + "_depth.png", d / max(float(d.max()), 1e-8))
+            if "image_brdf" in outs:
+                save_png(base + "_brdf.png", outs["image_brdf"])
+                for src, dst in exr_keys.items():
+                    save_exr(f"{base}_{dst}.exr", outs[src])
+        if self.cfg.stage == 1 and self.cfg.use_brdf:
+            # trained envmap, once per run (reference dumps env_map EXR)
+            save_exr(
+                os.path.join(out_dir, f"{self.name}_env_map.exr"),
+                np.asarray(self.state.params.env),
             )
         self.log(f"[test] wrote {sampler.data.num_frames} frames to {out_dir}")
 

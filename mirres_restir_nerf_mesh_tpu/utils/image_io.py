@@ -16,6 +16,14 @@ def load_hdr(path: str) -> np.ndarray:
 
     img = cv2.imread(path, flags=cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
     if img is None:
+        if path.endswith(".exr"):
+            # this build of cv2 has no EXR codec; use the bundled pure-numpy one
+            from .exr import read_exr
+
+            img = read_exr(path)[..., :3]
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            return np.asarray(img, np.float32)
         raise FileNotFoundError(path)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
@@ -30,6 +38,13 @@ def save_hdr(path: str, img: np.ndarray) -> None:
     cv2.imwrite(path, bgr)
 
 
+def save_exr(path: str, img: np.ndarray) -> None:
+    """Write a float EXR (pure-numpy codec; cv2 here lacks EXR support)."""
+    from .exr import write_exr
+
+    write_exr(path, np.asarray(img, np.float32))
+
+
 def save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
@@ -37,9 +52,11 @@ def save_png(path: str, img: np.ndarray) -> None:
 
 
 def save_float(path: str, img: np.ndarray) -> None:
-    """Float dump: .hdr for 3-channel, .npy otherwise."""
+    """Float dump: .exr / .hdr by extension, .npy otherwise."""
     img = np.asarray(img, np.float32)
-    if path.endswith(".hdr") and img.ndim == 3 and img.shape[-1] == 3:
+    if path.endswith(".exr"):
+        save_exr(path, img)
+    elif path.endswith(".hdr") and img.ndim == 3 and img.shape[-1] == 3:
         save_hdr(path, img)
     else:
         np.save(path if path.endswith(".npy") else path + ".npy", img)
