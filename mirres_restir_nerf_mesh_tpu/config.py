@@ -24,6 +24,11 @@ class Config:
     ckpt: str = "latest"
     fp16: bool = False            # on TPU this means bfloat16 compute
     sdf: bool = False
+    # TPU-native data parallelism (replaces the reference's vestigial DDP,
+    # nerf/utils.py:761-764): shard the ray/pixel batch over all devices,
+    # replicate params, let XLA insert the gradient psum. On by default when
+    # more than one device is visible.
+    data_parallel: bool = True
     tcnn: bool = False            # accepted for CLI parity; single encoder impl here
     progressive_level: bool = False
 
@@ -54,6 +59,9 @@ class Config:
     lr: float = 1e-2
     lr_vert: float = 1e-4
     pos_gradient_boost: float = 1.0
+    # vendored LPIPS VGG weights (.npz); empty -> deterministic random-VGG
+    # perceptual fallback (train/lpips.py; zero-egress image has no weights)
+    lpips_weights: str = ""
     cuda_ray: bool = True         # parity flag; always grid-accelerated here
     max_steps: int = 1024
     update_extra_interval: int = 16

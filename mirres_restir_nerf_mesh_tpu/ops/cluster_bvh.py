@@ -38,6 +38,9 @@ class ClusterMesh(NamedTuple):
     packed: jnp.ndarray     # [C, S, 10] (v0, e1, e2, prim-as-float)
     soa: jnp.ndarray        # [10, C*S] component-major copy for dense passes
     prim: jnp.ndarray       # [C, S] original triangle id (-1 = padding)
+    geom_cm: jnp.ndarray    # [C, 16, S] component-major blocks for the tile
+                            # tracer: rows 0-8 v0/e1/e2, 9 prim, 10-12 aabb_min,
+                            # 13-15 aabb_max (broadcast along S)
 
 
 def build_clusters(
@@ -83,9 +86,17 @@ def build_clusters(
         [v0c, v1c - v0c, v2c - v0c, prim[..., None].astype(jnp.float32)], axis=-1
     )
     soa = packed.reshape(C * S, 10).T  # [10, C*S]
+    geom_cm = jnp.concatenate(
+        [
+            packed.transpose(0, 2, 1),                          # [C, 10, S]
+            jnp.broadcast_to(cmin[:, :, None], (C, 3, S)),
+            jnp.broadcast_to(cmax[:, :, None], (C, 3, S)),
+        ],
+        axis=1,
+    )
     return ClusterMesh(
         aabb_min=cmin, aabb_max=cmax, packed=packed, soa=soa,
-        prim=prim.astype(jnp.int32),
+        prim=prim.astype(jnp.int32), geom_cm=geom_cm,
     )
 
 

@@ -1,0 +1,430 @@
+"""Tile tracer: coherent ray-tile x candidate-cluster Pallas traversal.
+
+The production TPU ray-mesh intersector.  Re-implements the reference's BVH
+traversal semantics (`nerf/bvhworkers/intersect_test.slang:14-167` closest-hit
+and any-hit) with a TPU-first execution model:
+
+  Problem: the per-ray candidate loop in ops/cluster_bvh.py pays ~15 ns per
+  gathered cluster row (measured, CLAUDE.md cost model) -> ~19 us/ray at
+  K=10 x S=128 rows.  Ray tracing on TPU is gather-bound, not compute-bound.
+
+  Fix: amortize the candidate selection and the geometry fetch over a *tile*
+  of rays.
+    1. XLA prep (cheap, O(tiles x 8 x C) not O(rays x C)): rays are grouped
+       into tiles of R; each tile is split into 8 direction octants; a
+       conservative interval-arithmetic slab test (origin box x sign-fixed
+       direction box vs cluster AABB) selects candidate clusters per
+       (tile, octant); the 8 octant lists merge into one per-tile stream
+       sorted by conservative entry t.
+    2. Pallas kernel with scalar-prefetched candidate indices: the BlockSpec
+       index_map reads cand[tile, k] so the DMA engine streams *only* the
+       candidate cluster blocks into VMEM -- zero XLA gathers.  Inside, a
+       per-ray slab + octant mask drops rays whose best hit already beats
+       the cluster's entry, and Moeller-Trumbore runs in SoA component form
+       (triangles on sublanes, rays on lanes, f32 on the VPU).
+    3. `pl.when` skips whole grid steps once a tile exhausts its candidates
+       (k >= count) or no ray can still use the cluster -- including a real
+       first-hit early-out for shadow rays (any_hit) that the per-ray
+       gather path never had.
+
+The octant split is what keeps *incoherent* rays (bounce directions,
+hemisphere samples) exact: a sign-constrained direction box gives each
+octant a tight frustum even when the tile's union of directions covers the
+whole sphere.  Exactness telemetry: `tile_trace` returns an `uncertain`
+per-ray mask (best_t exceeds the entry of the first candidate dropped by
+the per-tile budget) so tests can assert the budget never truncates on
+representative meshes (tests/test_tile_tracer.py), mirroring how the
+reference trusts its fixed 64-deep traversal stack
+(intersect_test.slang:24).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bvh import HitResult
+from .cluster_bvh import ClusterMesh, _finish, _intersect_dense
+
+R_TILE = 512      # rays per tile (lanes axis; multiple of 128)
+BIG = 1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _kernel(cand_ref, octs_ref, counts_ref, geom_ref, rays_ref, out_ref, *,
+            t_min: float, any_hit: bool, S: int, R: int):
+    ti = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0, 0, :] = jnp.full((R,), BIG, jnp.float32)   # best_t
+        out_ref[0, 1, :] = jnp.zeros((R,), jnp.float32)       # best lin slot
+        out_ref[0, 2, :] = jnp.zeros((R,), jnp.float32)       # u
+        out_ref[0, 3, :] = jnp.zeros((R,), jnp.float32)       # v
+
+    @pl.when(k < counts_ref[ti])
+    def _body():
+        ox = rays_ref[0, 0, :]
+        oy = rays_ref[0, 1, :]
+        oz = rays_ref[0, 2, :]
+        dx = rays_ref[0, 3, :]
+        dy = rays_ref[0, 4, :]
+        dz = rays_ref[0, 5, :]
+        tmax = rays_ref[0, 6, :]
+        best = out_ref[0, 0, :]
+
+        # octant bitmask: which direction octants of this tile see the cluster
+        oct_k = octs_ref[ti, k]
+        ray_oct = (
+            (dx > 0).astype(jnp.int32)
+            + 2 * (dy > 0).astype(jnp.int32)
+            + 4 * (dz > 0).astype(jnp.int32)
+        )
+        oct_ok = jnp.bitwise_and(jnp.right_shift(oct_k, ray_oct), 1) == 1
+
+        # per-ray slab test against this cluster's AABB (rows 10..15 carry
+        # the box broadcast along lanes; lane 0 reads are scalar loads)
+        bnx = geom_ref[0, 10, 0]
+        bny = geom_ref[0, 11, 0]
+        bnz = geom_ref[0, 12, 0]
+        bxx = geom_ref[0, 13, 0]
+        bxy = geom_ref[0, 14, 0]
+        bxz = geom_ref[0, 15, 0]
+
+        def inv(c):
+            return 1.0 / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c)
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        lox, hix = (bnx - ox) * ix, (bxx - ox) * ix
+        loy, hiy = (bny - oy) * iy, (bxy - oy) * iy
+        loz, hiz = (bnz - oz) * iz, (bxz - oz) * iz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+            jnp.minimum(loz, hiz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+            jnp.maximum(loz, hiz),
+        )
+        entry = jnp.maximum(t0, 0.0)
+        useful = (
+            oct_ok
+            & (t1 >= jnp.maximum(t0, t_min))
+            & (t0 <= tmax)
+            & (entry < best)
+        )
+        if any_hit:
+            useful = useful & (best >= BIG)  # found rays are done
+
+        @pl.when(jnp.any(useful))
+        def _mt():
+            # triangles on sublanes ([S,1] columns), rays on lanes ([1,R])
+            v0x = geom_ref[0, 0, :][:, None]
+            v0y = geom_ref[0, 1, :][:, None]
+            v0z = geom_ref[0, 2, :][:, None]
+            e1x = geom_ref[0, 3, :][:, None]
+            e1y = geom_ref[0, 4, :][:, None]
+            e1z = geom_ref[0, 5, :][:, None]
+            e2x = geom_ref[0, 6, :][:, None]
+            e2y = geom_ref[0, 7, :][:, None]
+            e2z = geom_ref[0, 8, :][:, None]
+            prim = geom_ref[0, 9, :][:, None]
+
+            rdx, rdy, rdz = dx[None, :], dy[None, :], dz[None, :]
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            dinv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+            tx = ox[None, :] - v0x
+            ty = oy[None, :] - v0y
+            tz = oz[None, :] - v0z
+            u = (tx * px + ty * py + tz * pz) * dinv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (rdx * qx + rdy * qy + rdz * qz) * dinv
+            th = (e2x * qx + e2y * qy + e2z * qz) * dinv
+            ok = (
+                (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                & (th > t_min) & (th < tmax[None, :]) & (prim >= 0)
+                & useful[None, :]
+            )
+            th = jnp.where(ok, th, BIG)                      # [S, R]
+
+            slot = jnp.argmin(th, axis=0)                    # [R]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
+            sel = rows == slot[None, :]
+            t_best = jnp.min(th, axis=0)
+            u_best = jnp.max(jnp.where(sel, u, -BIG), axis=0)
+            v_best = jnp.max(jnp.where(sel, v, -BIG), axis=0)
+
+            better = t_best < best
+            cid = cand_ref[ti, k]
+            lin = (cid * S + slot).astype(jnp.float32)
+            out_ref[0, 0, :] = jnp.where(better, t_best, best)
+            out_ref[0, 1, :] = jnp.where(better, lin, out_ref[0, 1, :])
+            out_ref[0, 2, :] = jnp.where(better, u_best, out_ref[0, 2, :])
+            out_ref[0, 3, :] = jnp.where(better, v_best, out_ref[0, 3, :])
+
+
+def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int):
+    """Conservative per-(tile, octant) candidate clusters, merged per tile.
+
+    rot/rdt [T,R,3], tmt [T,R] ->
+      cand [T,K] int32 cluster ids (entry-sorted, repeat-padded),
+      octs [T,K] int32 owning octant of each candidate,
+      counts [T] int32 valid prefix length,
+      dropped [T] f32 entry lower bound of the first candidate dropped by
+        the budget (inf if none dropped): per-tile exactness bound.
+    """
+    T_, R, _ = rot.shape
+    C = cm.aabb_min.shape[0]
+
+    live = tmt > 0.0
+    o_lo = jnp.min(jnp.where(live[..., None], rot, jnp.inf), axis=1)    # [T,3]
+    o_hi = jnp.max(jnp.where(live[..., None], rot, -jnp.inf), axis=1)
+    # dead tiles (all padding): collapse to a point far away
+    o_lo = jnp.where(jnp.isfinite(o_lo), o_lo, 3e8)
+    o_hi = jnp.where(jnp.isfinite(o_hi), o_hi, 3e8)
+    t_hi = jnp.max(jnp.where(live, tmt, 0.0), axis=1)                   # [T]
+
+    pos = rdt > 0                                                       # [T,R,3]
+    oct_id = (
+        pos[..., 0].astype(jnp.int32)
+        + 2 * pos[..., 1].astype(jnp.int32)
+        + 4 * pos[..., 2].astype(jnp.int32)
+    )                                                                   # [T,R]
+    in_b = (oct_id[:, None, :] == jnp.arange(8)[None, :, None]) & live[:, None, :]  # [T,8,R]
+    dexp = rdt.transpose(0, 2, 1)                                       # [T,3,R]
+    sel = in_b[:, :, None, :]                                           # [T,8,1,R]
+    d_lo = jnp.min(jnp.where(sel, dexp[:, None], jnp.inf), axis=-1)     # [T,8,3]
+    d_hi = jnp.max(jnp.where(sel, dexp[:, None], -jnp.inf), axis=-1)
+    present = jnp.any(in_b, axis=-1)                                    # [T,8]
+
+    # sign-clamp the direction box per octant (bit set => component > 0)
+    bits = jnp.stack(
+        [jnp.arange(8) % 2, (jnp.arange(8) // 2) % 2, jnp.arange(8) // 4], -1
+    ).astype(bool)                                                      # [8,3]
+    eps = 1e-12
+    d_lo = jnp.where(bits[None], jnp.maximum(d_lo, eps), jnp.minimum(d_lo, -eps))
+    d_hi = jnp.where(bits[None], jnp.maximum(d_hi, eps), jnp.minimum(d_hi, -eps))
+    i_lo = 1.0 / d_hi                                                   # [T,8,3]
+    i_hi = 1.0 / d_lo
+
+    # interval product of (aabb plane offsets) x (inverse directions)
+    s_lo = (cm.aabb_min[None] - o_hi[:, None])[:, None]                 # [T,1,C,3]
+    s_hi = (cm.aabb_max[None] - o_lo[:, None])[:, None]
+    il = i_lo[:, :, None]                                               # [T,8,1,3]
+    ih = i_hi[:, :, None]
+    p1, p2, p3, p4 = s_lo * il, s_lo * ih, s_hi * il, s_hi * ih
+    p_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))        # [T,8,C,3]
+    p_hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+    t0_lb = jnp.max(p_lo, axis=-1)                                      # [T,8,C]
+    t1_ub = jnp.min(p_hi, axis=-1)
+    hit = (
+        present[..., None]
+        & (t1_ub >= jnp.maximum(t0_lb, t_min))
+        & (t0_lb <= t_hi[:, None, None])
+    )
+    entry_b = jnp.where(hit, jnp.maximum(t0_lb, 0.0), jnp.inf)          # [T,8,C]
+
+    # dedup across octants: each cluster appears once per tile, carrying the
+    # bitmask of octants whose frustum sees it (the kernel bit-tests rays)
+    entry = jnp.min(entry_b, axis=1)                                    # [T,C]
+    octmask = jnp.sum(
+        jnp.where(hit, jnp.left_shift(1, jnp.arange(8))[None, :, None], 0),
+        axis=1,
+    ).astype(jnp.int32)                                                 # [T,C]
+
+    K = min(k_flat, C)
+    k_sel = min(K + 1, C)
+    negm, midx = jax.lax.top_k(-entry, k_sel)
+    ent_m = -negm                                                       # [T,k_sel]
+    cand = midx[:, :K].astype(jnp.int32)
+    octs = jnp.take_along_axis(octmask, cand, axis=1)
+    finite = jnp.isfinite(ent_m[:, :K])
+    counts = jnp.sum(finite, axis=1).astype(jnp.int32)
+    dropped = (
+        jnp.where(counts == K, ent_m[:, k_sel - 1], jnp.inf)
+        if k_sel > K
+        else jnp.full((T_,), jnp.inf)
+    )
+    # repeat the last valid candidate into the padding so the pipelined DMA
+    # revisits the same block (elided copy) instead of fetching junk
+    last = jnp.take_along_axis(cand, jnp.clip(counts - 1, 0, K - 1)[:, None], axis=1)
+    karange = jnp.arange(K)[None, :]
+    cand = jnp.where(karange < counts[:, None], cand, last)
+    return cand, octs, counts, dropped
+
+
+class TileTraceOut(NamedTuple):
+    hit: HitResult
+    uncertain: jnp.ndarray  # [N] bool: hit may lie in a dropped candidate
+
+
+def tile_trace(
+    cm: ClusterMesh,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_min: float = 1e-4,
+    t_max=1e10,
+    any_hit: bool = False,
+    k_cap: int = 128,
+    tile: int = R_TILE,
+    sort_octants: bool = False,
+    sort_block: int = 4096,
+) -> TileTraceOut:
+    """Trace via tile-coherent candidate streaming.  Requires S % 128 == 0.
+
+    sort_octants: block-local direction-octant reorder before tiling
+    (~1 ms for 655k rays via lax.sort_key_val + one wide-row gather) — a
+    ~2.7x win for direction-incoherent batches (bounce rays, early-training
+    shadow rays) because each tile's candidate union collapses to one
+    octant's frustum.  Results are unpermuted before returning."""
+    N = rays_o.shape[0]
+    C, S = cm.prim.shape
+    R = tile
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)).astype(jnp.float32)
+
+    inv_perm = None
+    if sort_octants and N > R:
+        oct_id = (
+            (rays_d[:, 0] > 0).astype(jnp.int32)
+            + 2 * (rays_d[:, 1] > 0).astype(jnp.int32)
+            + 4 * (rays_d[:, 2] > 0).astype(jnp.int32)
+        )
+        blk = jnp.arange(N, dtype=jnp.int32) // sort_block
+        _, perm = jax.lax.sort_key_val(blk * 8 + oct_id, jnp.arange(N, dtype=jnp.int32))
+        rays_o = rays_o[perm]
+        rays_d = rays_d[perm]
+        t_max_arr = t_max_arr[perm]
+        _, inv_perm = jax.lax.sort_key_val(perm, jnp.arange(N, dtype=jnp.int32))
+
+    pad = (-N) % R
+    Np = N + pad
+    ro = jnp.concatenate([rays_o.astype(jnp.float32), jnp.zeros((pad, 3))])
+    rd = jnp.concatenate([rays_d.astype(jnp.float32), jnp.ones((pad, 3))])
+    tm = jnp.concatenate([t_max_arr, jnp.zeros((pad,))])  # padding never hits
+
+    n_tiles = Np // R
+    rot = ro.reshape(n_tiles, R, 3)
+    rdt = rd.reshape(n_tiles, R, 3)
+    tmt = tm.reshape(n_tiles, R)
+
+    cand, octs, counts, dropped = _octant_candidates(cm, rot, rdt, tmt, t_min, k_cap)
+    K = cand.shape[1]
+
+    rays_cm = jnp.zeros((n_tiles, 8, R), jnp.float32)
+    rays_cm = rays_cm.at[:, 0:3, :].set(rot.transpose(0, 2, 1))
+    rays_cm = rays_cm.at[:, 3:6, :].set(rdt.transpose(0, 2, 1))
+    rays_cm = rays_cm.at[:, 6, :].set(tmt)
+
+    def call(cand_c, octs_c, counts_c, rays_c):
+        nt = cand_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nt, K),
+            in_specs=[
+                pl.BlockSpec((1, 16, S), lambda ti, k, cand, octs, counts: (cand[ti, k], 0, 0)),
+                pl.BlockSpec((1, 8, R), lambda ti, k, cand, octs, counts: (ti, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, R), lambda ti, k, cand, octs, counts: (ti, 0, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, t_min=t_min, any_hit=any_hit, S=S, R=R),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nt, 8, R), jnp.float32),
+            interpret=_interpret(),
+        )(cand_c, octs_c, counts_c, cm.geom_cm, rays_c)
+
+    # scalar-prefetch tables live in SMEM (~1 MB): chunk the tile axis so
+    # cand+octs+counts stay well under budget for huge ray batches
+    tiles_chunk = max(8, 49152 // max(K, 1))
+    if n_tiles <= tiles_chunk:
+        out = call(cand, octs, counts, rays_cm)
+    else:
+        outs = []
+        for s0 in range(0, n_tiles, tiles_chunk):
+            e0 = min(s0 + tiles_chunk, n_tiles)
+            outs.append(call(cand[s0:e0], octs[s0:e0], counts[s0:e0], rays_cm[s0:e0]))
+        out = jnp.concatenate(outs, axis=0)
+
+    best_t = out[:, 0, :].reshape(Np)[:N]
+    best_lin = out[:, 1, :].reshape(Np)[:N].astype(jnp.int32)
+    u = out[:, 2, :].reshape(Np)[:N]
+    v = out[:, 3, :].reshape(Np)[:N]
+
+    found = best_t < BIG * 0.5
+    best_t = jnp.where(found, best_t, jnp.inf)
+    best_t = jnp.where(best_t <= t_max_arr, best_t, jnp.inf)
+    best_lin = jnp.clip(best_lin, 0, cm.soa.shape[1] - 1)
+    hit = _finish(cm, best_lin, best_t, u, v, t_max_arr)
+
+    per_ray_dropped = jnp.repeat(dropped, R)[:N]
+    uncertain = jnp.where(
+        jnp.isfinite(per_ray_dropped),
+        jnp.where(jnp.isfinite(best_t), best_t, jnp.minimum(t_max_arr, BIG))
+        > per_ray_dropped,
+        False,
+    )
+    if inv_perm is not None:
+        hit = HitResult(
+            t=hit.t[inv_perm], prim=hit.prim[inv_perm], u=hit.u[inv_perm],
+            v=hit.v[inv_perm], normal=hit.normal[inv_perm],
+        )
+        uncertain = uncertain[inv_perm]
+    return TileTraceOut(hit=hit, uncertain=uncertain)
+
+
+def intersect_tiles(
+    cm: ClusterMesh,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_min: float = 1e-4,
+    t_max=1e10,
+    any_hit: bool = False,
+    k_cap: int = 128,
+    tile: int = R_TILE,
+    dense_threshold: int = 8192,
+    sort_octants: bool = False,
+) -> HitResult:
+    """HitResult-contract wrapper: dense pass for small meshes, tile trace
+    otherwise (same dispatch shape as cluster_bvh.intersect_clusters)."""
+    N = rays_o.shape[0]
+    C, S = cm.prim.shape
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    if C * S <= dense_threshold or C == 1 or S % 128 != 0:
+        return _intersect_dense(cm, rays_o, rays_d, t_min, t_max_arr)
+    return tile_trace(
+        cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=any_hit,
+        k_cap=k_cap, tile=tile, sort_octants=sort_octants,
+    ).hit
+
+
+def occluded_tiles(
+    cm: ClusterMesh,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_max,
+    t_min: float = 1e-4,
+    k_cap: int = 128,
+    tile: int = R_TILE,
+    dense_threshold: int = 8192,
+    sort_octants: bool = False,
+) -> jnp.ndarray:
+    res = intersect_tiles(
+        cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=True,
+        k_cap=k_cap, tile=tile, dense_threshold=dense_threshold,
+        sort_octants=sort_octants,
+    )
+    return res.prim >= 0

@@ -104,6 +104,71 @@ def eaw_denoise(
     return color
 
 
+def normal_ao(normal: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space AO from local normal agreement (reference
+    EAWDenoise.slang:591-648 process_normal_ao, consumed by the
+    lambda_extra_kd albedo-smoothness loss, renderer.py:1151-1158):
+    over an 8x8 window, sum clamped dot(n_center, n_nbr) over valid hit
+    pixels; ao = clamp(50 * (1 - sum/count), 0, 1).  High where normals
+    disagree (creases/concavities), 0 on misses.  normal [H,W,3],
+    mask [H,W] -> ao [H,W], no gradients."""
+    normal = jax.lax.stop_gradient(normal)
+    H, W = normal.shape[0], normal.shape[1]
+    s = jnp.zeros((H, W))
+    cnt = jnp.zeros((H, W))
+    for dy in range(-4, 4):
+        for dx in range(-4, 4):
+            ntmp = _shift2d(normal, dy, dx)
+            ok = (
+                _valid2d(H, W, dy, dx)
+                & _shift2d(mask[..., None], dy, dx)[..., 0]
+            )
+            d = jnp.clip(jnp.sum(normal * ntmp, -1), 0.0, 1.0)
+            s = s + jnp.where(ok, d, 0.0)
+            cnt = cnt + ok
+    w = 1.0 - s / jnp.maximum(cnt, 1.0)
+    ao = jnp.clip(w * 50.0, 0.0, 1.0)
+    return jnp.where(mask, ao, 0.0)
+
+
+# 25-tap offset pattern shared by the EAW and variance kernels
+_OFF25 = [(i - 2, j - 2) for j in range(5) for i in range(5)]
+
+
+def variance_phi(
+    color: jnp.ndarray,   # [H,W,3]
+    normal: jnp.ndarray,  # [H,W,3]
+    pos: jnp.ndarray,     # [H,W,3]
+    mask: jnp.ndarray,    # [H,W]
+    step_width: int,
+) -> jnp.ndarray:
+    """Per-pixel phi estimate from local 25-tap variance (reference
+    EAWDenoise.slang:448-588 process_variance; compiled but driven from the
+    commented-out per-pixel path in Denoising.py:108-113 — kept for parity):
+    phi = (2*sum_c var(color), 0.1*sum_c var(normal), 0.1*sum_c var(pos)),
+    1e-6 on misses.  Returns [H,W,3]."""
+    H, W = color.shape[0], color.shape[1]
+    sums = [jnp.zeros((H, W, 3)) for _ in range(3)]
+    sqs = [jnp.zeros((H, W, 3)) for _ in range(3)]
+    cnt = jnp.zeros((H, W, 1))
+    for (ox, oy) in _OFF25:
+        dy, dx = oy * step_width, ox * step_width
+        ok = _valid2d(H, W, dy, dx)[..., None]
+        for idx, buf in enumerate((color, normal, pos)):
+            t = _shift2d(buf, dy, dx)
+            sums[idx] = sums[idx] + jnp.where(ok, t, 0.0)
+            sqs[idx] = sqs[idx] + jnp.where(ok, t * t, 0.0)
+        cnt = cnt + ok
+    cnt = jnp.maximum(cnt, 1.0)
+    phis = []
+    for idx, scale in ((0, 2.0), (1, 0.1), (2, 0.1)):
+        mean = sums[idx] / cnt
+        var = jnp.maximum(sqs[idx] / cnt - mean * mean, 0.0)
+        phis.append(scale * jnp.sum(var, axis=-1))
+    out = jnp.stack(phis, axis=-1)
+    return jnp.where(mask[..., None], out, 1e-6)
+
+
 def bilateral_denoise(
     color: jnp.ndarray,   # [H,W,3]
     normal: jnp.ndarray,  # [H,W,3]

@@ -6,9 +6,9 @@ G-buffer contents (positions, normals, barycentrics, face ids) with one code
 path and no GL dependency.  Differentiability: positions/normals are computed
 from the (offset) vertices via the hit barycentrics, so gradients flow to
 vertex offsets for the hit triangle exactly like dr.interpolate; silhouette
-(visibility) gradients — nvdiffrast's antialias term — are approximated by
-the edge-regularization losses (reference keeps `pos_gradient_boost` for the
-same reason).
+(visibility) gradients — nvdiffrast's antialias term — are provided by the
+boundary-pair crossing estimator in render/antialias.py (consuming the
+per-pixel triangle vertices this buffer carries).
 """
 
 from __future__ import annotations
@@ -47,6 +47,9 @@ class GBuffer(NamedTuple):
     face_id: jnp.ndarray   # [N] int32 (-1 miss)
     bary: jnp.ndarray      # [N,3]
     view_dir: jnp.ndarray  # [N,3] unit, from camera toward surface
+    tri_v0: jnp.ndarray    # [N,3] hit triangle vertices (differentiable wrt
+    tri_v1: jnp.ndarray    #       verts; consumed by the silhouette
+    tri_v2: jnp.ndarray    #       antialias pass, render/antialias.py)
 
 
 def raycast_gbuffer(
@@ -64,14 +67,13 @@ def raycast_gbuffer(
 
     i0, i1, i2 = tris[face, 0], tris[face, 1], tris[face, 2]
     w = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)  # [N,3]
+    tv0, tv1, tv2 = verts[i0], verts[i1], verts[i2]
     # differentiable position: bary-combine current vertices (grad -> offsets)
-    pos = (
-        w[:, 0:1] * verts[i0] + w[:, 1:2] * verts[i1] + w[:, 2:3] * verts[i2]
-    )
+    pos = w[:, 0:1] * tv0 + w[:, 1:2] * tv1 + w[:, 2:3] * tv2
 
     vn = auto_normals(verts, tris)
     nrm = safe_normalize(w[:, 0:1] * vn[i0] + w[:, 1:2] * vn[i1] + w[:, 2:3] * vn[i2])
-    fn = safe_normalize(jnp.cross(verts[i1] - verts[i0], verts[i2] - verts[i0]))
+    fn = safe_normalize(jnp.cross(tv1 - tv0, tv2 - tv0))
 
     t = jnp.where(mask, hit.t, 0.0)
     return GBuffer(
@@ -83,6 +85,9 @@ def raycast_gbuffer(
         face_id=hit.prim,
         bary=w,
         view_dir=d,
+        tri_v0=tv0,
+        tri_v1=tv1,
+        tri_v2=tv2,
     )
 
 

@@ -107,7 +107,7 @@ def sample_direct_mis(
     w_l = brdf.to_local(ldir, normal)
     bpdf_at_l = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
     mis_l = lpdf / jnp.maximum(lpdf + bpdf_at_l, 1e-12)
-    vis_l = ~tracer.occluded(position + normal * 1e-4, ldir, 1e9)
+    vis_l = ~tracer.occluded(position + normal * 1e-4, ldir, 1e9, incoherent=True)
     Li_env = le * (mis_l * vis_l / jnp.maximum(lpdf, 1e-12))[:, None]
     ok_env = (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
 
@@ -116,7 +116,7 @@ def sample_direct_mis(
     bdir = brdf.to_global(s.w_light_l, normal)
     lpdf_at_b = envlight.pdf_li(env_dist, bdir)
     mis_b = s.pdf / jnp.maximum(s.pdf + lpdf_at_b, 1e-12)
-    vis_b = ~tracer.occluded(position + normal * 1e-4, bdir, 1e9)
+    vis_b = ~tracer.occluded(position + normal * 1e-4, bdir, 1e9, incoherent=True)
     le_b = envlight.eval_le(env_tex, bdir)
     Li_brdf = le_b * (mis_b * vis_b / jnp.maximum(s.pdf, 1e-12))[:, None]
     ok_brdf = s.valid
@@ -191,7 +191,8 @@ def trace_bounce(
     sg = jax.lax.stop_gradient
     k_nee, k_next = jax.random.split(key)
 
-    hit = tracer.intersect(state.origin, state.direction)
+    # bounce directions span the hemisphere -> direction-incoherent budget
+    hit = tracer.intersect(state.origin, state.direction, incoherent=True)
     hit_mask = (hit.prim >= 0) & state.alive
     escape = state.alive & (hit.prim < 0)
 
@@ -227,7 +228,7 @@ def trace_bounce(
     f = brdf.brdf_eval(w_view, w_l, kd, metal, alpha, p_diff, p_spec)
     bpdf = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
     mis = lpdf / jnp.maximum(lpdf + bpdf, 1e-12)
-    vis = ~tracer.occluded(pos + nrm * 1e-4, ldir, 1e9)
+    vis = ~tracer.occluded(pos + nrm * 1e-4, ldir, 1e9, incoherent=True)
     nee_ok = hit_mask & (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
     nee = state.throughput * f * le * (mis * vis / jnp.maximum(lpdf, 1e-12))[:, None]
     nee_contrib = jnp.where(nee_ok[:, None], nee, 0.0)

@@ -140,11 +140,18 @@ def initial_resampling(
             return (1.0 - ratio) * lpdf + ratio * bpdf
         return lpdf
 
-    for i in range(n_light_samples):
+    # one wide-row gather table per sample (dir+Le+pdf packed; random row
+    # gathers cost ~the same regardless of width — CLAUDE.md cost model)
+    table = jnp.concatenate(
+        [tiles.dirs, tiles.le, tiles.pdf[..., None]], axis=-1
+    ).reshape(T * S, 7)
+    base = tile_id * S
+
+    def light_body(carry, i):
+        w_sum, M, sel_dir, sel_p, sel_valid = carry
         idx = (offset + i * stride) % S
-        ldir = tiles.dirs[tile_id, idx]
-        le = tiles.le[tile_id, idx]
-        lpdf = tiles.pdf[tile_id, idx]
+        row = table[base + idx]
+        ldir, le, lpdf = row[:, 0:3], row[:, 3:6], row[:, 6]
         p_hat = target_function(ctx, ldir, le)
         src = mixed_source_pdf(ldir, lpdf)
         w = jnp.where(src > 1e-12, p_hat / jnp.maximum(src, 1e-12), 0.0)
@@ -154,6 +161,12 @@ def initial_resampling(
         sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
         sel_p = jnp.where(pick, p_hat, sel_p)
         sel_valid = sel_valid | pick
+        return (w_sum, M, sel_dir, sel_p, sel_valid), None
+
+    (w_sum, M, sel_dir, sel_p, sel_valid), _ = jax.lax.scan(
+        light_body, (w_sum, M, sel_dir, sel_p, sel_valid),
+        jnp.arange(n_light_samples),
+    )
 
     for j in range(n_brdf_samples):
         kb = jax.random.fold_in(k_brdf, j)
@@ -173,7 +186,7 @@ def initial_resampling(
     sel_valid = sel_valid & ctx.mask
 
     if check_visibility and tracer is not None:
-        occ = tracer.occluded(ctx.position + ctx.normal * 1e-4, sel_dir, 1e9)
+        occ = tracer.occluded(ctx.position + ctx.normal * 1e-4, sel_dir, 1e9, incoherent=True)
         sel_valid = sel_valid & ~occ
 
     W = jnp.where(
@@ -296,7 +309,7 @@ def spatial_resampling(
             [ctx_rep.position + ctx_rep.normal * 1e-4, n_ctx.position + n_ctx.normal * 1e-4]
         )
         dirs = jnp.concatenate([n_res.dir, rep(res.dir)])
-        occ2 = tracer.occluded(origins, dirs, 1e9)
+        occ2 = tracer.occluded(origins, dirs, 1e9, incoherent=True)
         vis_c = ~occ2[: P * nn]
         vis_n = ~occ2[P * nn :]
         q_cand_at_c = q_cand_at_c * vis_c
@@ -369,7 +382,7 @@ def evaluate_final_samples(
     path)."""
     vis = jnp.ones((ctx.position.shape[0],))
     if check_visibility and tracer is not None:
-        vis = (~tracer.occluded(ctx.position + ctx.normal * 1e-4, res.dir, 1e9)).astype(jnp.float32)
+        vis = (~tracer.occluded(ctx.position + ctx.normal * 1e-4, res.dir, 1e9, incoherent=True)).astype(jnp.float32)
     le = envlight.eval_le(env_tex, res.dir)
     li = le * (jax.lax.stop_gradient(res.W) * vis)[:, None]
     ok = res.valid & ctx.mask

@@ -22,6 +22,7 @@ from ..models import nerf as nerf_model
 from ..ops.tracer import build_tracer
 from ..utils.math import safe_normalize
 from . import pathtracer
+from . import restir as restir_mod
 from .gbuffer import prepare_shading_normal, raycast_gbuffer
 
 
@@ -67,16 +68,29 @@ class Stage1Static:
     n_phi: float = 0.1
     p_phi: float = 0.1
 
-    # ray tracer backend: 'cluster' (TPU-native dense cluster tracer) or
-    # 'lbvh' (Karras LBVH, parity/reference backend)
-    tracer: str = "cluster"
+    # ray tracer backend: 'auto' (tile on TPU, cluster on CPU), 'tile'
+    # (Pallas tile-coherent candidate streaming), 'cluster' (per-ray XLA
+    # candidate loop) or 'lbvh' (Karras LBVH, parity/reference backend)
+    tracer: str = "auto"
     cluster_size: int = 128
     max_candidates: int = 10     # cluster-AABB candidates tested per ray
     dense_threshold: int = 8192  # <=: single dense pass over all triangles
+    k_cap: int = 128             # tile tracer: candidate clusters per ray tile
+    k_cap_incoherent: int = 384  # tile tracer: budget for bounce-ray batches
+    ray_tile: int = 512          # tile tracer: rays per tile
 
     # supersampling factor baked into H/W (H,W here are ALREADY multiplied
     # by ssaa; the trainer box-downsamples outputs to GT resolution)
     ssaa: int = 1
+
+    # silhouette antialiasing with vertex gradients (render/antialias.py, the
+    # dr.antialias equivalent, reference renderer.py:1182-1206)
+    antialias: bool = True
+    pos_gradient_boost: float = 1.0
+
+    # screen-space normal-AO buffer for the lambda_extra_kd loss
+    # (reference process_normal_ao, renderer.py:1151-1158)
+    compute_normal_ao: bool = False
 
 
 def act_voffsets(vo: jnp.ndarray) -> jnp.ndarray:
@@ -105,6 +119,8 @@ def render_stage1(
         cluster_size=static.cluster_size,
         max_candidates=static.max_candidates,
         dense_threshold=static.dense_threshold,
+        k_cap=static.k_cap, k_cap_incoherent=static.k_cap_incoherent,
+        tile=static.ray_tile,
     )
 
     gb = raycast_gbuffer(verts, tris, tracer, rays_o, rays_d)
@@ -154,8 +170,6 @@ def render_stage1(
     ctx = None
     offsets = None
     if static.use_restir:
-        from . import restir as restir_mod
-
         ctx = restir_mod.PixelCtx(
             position=sg(xyzs), normal=sg(normal), view_dir=gb.view_dir,
             kd=sg(kd_shade), roughness=sg(rough), metallic=sg(metal),
@@ -165,26 +179,38 @@ def render_stage1(
             jax.random.fold_in(key, 99), static.restir_offsets, static.restir_radius
         )
 
-    diffs, specs, indirects = [], [], []
-    prev_res = None
-    for s in range(static.spp):
+    # light tiles are generated ONCE per render, outside the spp loop (the
+    # reference builds its tile buffer per pass set, renderer_restir.py:319;
+    # per-spp tile_id/offset randomization keeps samples stratified)
+    tiles = None
+    if static.use_restir:
+        tiles = restir_mod.generate_light_tiles(
+            jax.random.fold_in(k_di, 10_007), sg(env_tex), env_dist,
+            static.restir_tiles, static.restir_tile_size,
+        )
+
+    # spp loop as lax.scan: ONE compiled body regardless of spp (the
+    # reference's per-spp Python pass loop re-dispatches ~10 kernels per spp,
+    # renderer_restir.py:314-471; here compile time and code are spp-invariant).
+    # Temporal reuse runs every iteration against the previous spp's reservoir
+    # (motion vectors are zero, renderer_restir.py:487); iteration 0 merges
+    # with an EMPTY reservoir (M=0), which is a no-op — equivalent to the
+    # reference's `if i > 0` gate without a separate first-iteration graph.
+    P = rays_o.shape[0]
+
+    def spp_body(carry, s):
+        prev_res, acc_d, acc_s, acc_i = carry
         k_s = jax.random.fold_in(k_di, s)
         if static.use_restir:
             k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
-            tiles = restir_mod.generate_light_tiles(
-                k_t, sg(env_tex), env_dist, static.restir_tiles, static.restir_tile_size
-            )
             res = restir_mod.initial_resampling(
                 k_i, ctx, tiles, sg(env_tex), env_dist, tracer,
                 static.restir_light_samples, static.restir_brdf_samples,
             )
-            if prev_res is not None:
-                # temporal reuse across spp iterations (renderer_restir.py:344,
-                # motion vectors are zero so prev pixel == current pixel)
-                res = restir_mod.temporal_resampling(
-                    k_tm, ctx, res, prev_res, ctx.normal, ctx.depth, sg(env_tex),
-                    max_history=static.restir_history,
-                )
+            res = restir_mod.temporal_resampling(
+                k_tm, ctx, res, prev_res, ctx.normal, ctx.depth, sg(env_tex),
+                max_history=static.restir_history,
+            )
             res = restir_mod.spatial_resampling(
                 k_sp, ctx, res, sg(env_tex), static.H, static.W, offsets,
                 tracer=tracer, n_neighbors=static.restir_neighbors,
@@ -206,13 +232,17 @@ def render_stage1(
             tracer, sg(verts), tris, material_fn,
             env_tex, env_dist, bounces=static.bounces,
         )
-        diffs.append(diff_s)
-        specs.append(spec_s)
-        indirects.append(ind_s)
+        return (prev_res, acc_d + diff_s, acc_s + spec_s, acc_i + ind_s), None
 
-    diffuse_light = jnp.mean(jnp.stack(diffs), 0)
-    specular_light = jnp.mean(jnp.stack(specs), 0)
-    indirect = jnp.mean(jnp.stack(indirects), 0)
+    zero = jnp.zeros((P, 3))
+    carry0 = (restir_mod.empty_reservoir(P), zero, zero, zero)
+    (_, sum_d, sum_s, sum_i), _ = jax.lax.scan(
+        spp_body, carry0, jnp.arange(static.spp)
+    )
+    inv = 1.0 / float(static.spp)
+    diffuse_light = sum_d * inv
+    specular_light = sum_s * inv
+    indirect = sum_i * inv
 
     # denoise diffuse/spec (differentiable) + indirect (no-grad), then
     # composite (reference renderer_restir.py:507-544)
@@ -257,13 +287,47 @@ def render_stage1(
     if exposure_scale is not None:
         image_brdf = image_brdf * exposure_scale
 
+    # silhouette antialiasing: vertex gradients across coverage boundaries
+    # (dr.antialias parity, reference renderer.py:1182-1206; indirect is
+    # value-antialiased but detached like the reference's .detach() buffers)
+    weights_sum = gb.mask.astype(jnp.float32)
+    if static.antialias and static.H > 0:
+        from .antialias import antialias as aa_fn
+
+        bufs = {
+            "image": image,
+            "image_brdf": image_brdf,
+            "diffuse_light": diffuse_light,
+            "specular_light": specular_light,
+            "img_brdf_indirect": sg(indirect),
+        }
+        bufs, weights_sum = aa_fn(
+            bufs, gb.mask, (gb.tri_v0, gb.tri_v1, gb.tri_v2),
+            rays_o, gb.view_dir, static.H, static.W,
+            boost=static.pos_gradient_boost,
+        )
+        image = bufs["image"]
+        image_brdf = bufs["image_brdf"]
+        diffuse_light = bufs["diffuse_light"]
+        specular_light = bufs["specular_light"]
+        indirect = bufs["img_brdf_indirect"]
+
+    nrm_ao = None
+    if static.compute_normal_ao and static.H > 0:
+        from .denoise import normal_ao
+
+        nrm_ao = normal_ao(
+            sg(normal).reshape(static.H, static.W, 3),
+            gb.mask.reshape(static.H, static.W),
+        ).reshape(-1)
+
     return {
         "image": image,
         "image_brdf": image_brdf,
         "diffuse_light": diffuse_light,
         "specular_light": specular_light,
         "img_brdf_indirect": indirect,
-        "weights_sum": gb.mask.astype(jnp.float32),
+        "weights_sum": weights_sum,
         "depth": gb.depth,
         "normal": normal,
         "kd": kd_shade,
@@ -274,4 +338,5 @@ def render_stage1(
         "xyzs": xyzs,
         "mask": gb.mask,
         "face_id": gb.face_id,
+        **({"normal_ao": nrm_ao} if nrm_ao is not None else {}),
     }

@@ -59,20 +59,31 @@ def lpips_available() -> bool:
         return False
 
 
-def lpips_fn():
-    """Torch-CPU LPIPS (vgg) callable on numpy [H,W,3] images, or None."""
-    if not lpips_available():
-        return None
-    import lpips
-    import numpy as np
-    import torch
+def lpips_fn(weights_path: str = ""):
+    """LPIPS(vgg) callable on numpy [H,W,3] images.
 
-    net = lpips.LPIPS(net="vgg")
+    Preference order: the `lpips` torch package (exact published metric) ->
+    vendored weights through the pure-JAX backbone -> deterministic
+    random-VGG perceptual fallback (train/lpips.py; values not comparable to
+    published LPIPS, flagged via .kind)."""
+    if lpips_available():
+        import lpips
+        import numpy as np
+        import torch
 
-    def _fn(pred, gt):
-        p = torch.from_numpy(np.asarray(pred)).permute(2, 0, 1)[None] * 2 - 1
-        g = torch.from_numpy(np.asarray(gt)).permute(2, 0, 1)[None] * 2 - 1
-        with torch.no_grad():
-            return float(net(p.float(), g.float()))
+        net = lpips.LPIPS(net="vgg")
 
-    return _fn
+        def _fn(pred, gt):
+            p = torch.from_numpy(np.asarray(pred)).permute(2, 0, 1)[None] * 2 - 1
+            g = torch.from_numpy(np.asarray(gt)).permute(2, 0, 1)[None] * 2 - 1
+            with torch.no_grad():
+                return float(net(p.float(), g.float()))
+
+        _fn.kind = "vgg"
+        return _fn
+
+    from .lpips import lpips_kind, make_lpips
+
+    fn = make_lpips(weights_path)
+    fn.kind = lpips_kind(weights_path)
+    return fn

@@ -141,15 +141,28 @@ def stage0_loss(
     return loss, aux
 
 
-def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler):
+def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler, mesh=None):
     """Returns jitted (state, key) -> (state, aux). `sampler` is a
-    RayDataset-like object whose .sample(key, n) is traceable."""
+    RayDataset-like object whose .sample(key, n) is traceable.  With `mesh`,
+    the sampled ray batch is sharded over the 'data' axis (params replicated,
+    XLA-inserted grad psum — the TPU equivalent of the reference's DDP,
+    nerf/utils.py:761-764)."""
     opt = make_optimizer(cfg)
 
     @jax.jit
     def train_step(state: TrainState, key: jax.Array):
         k_batch, k_perturb = jax.random.split(key)
         batch = sampler.sample(k_batch, cfg.num_rays)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh)
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cfg.num_rays
+                else x,
+                batch,
+            )
 
         grads, aux = jax.grad(stage0_loss, has_aux=True)(
             state.params, state.occ.occ, batch, k_perturb, cfg, spec, state.step

@@ -137,6 +137,22 @@ def stage1_loss(
     if cfg.lambda_mask > 0 and "alpha" in batch:
         loss = loss + cfg.lambda_mask * jnp.mean((out["weights_sum"] - batch["alpha"]) ** 2)
 
+    if cfg.lambda_lpips > 0 and static.H > 0:
+        # perceptual loss on the full frame for nerf AND brdf images
+        # (reference utils.py:1079-1082)
+        from .lpips import _default_params_cached, lpips_distance
+
+        lp_params, _ = _default_params_cached(cfg.lpips_weights)
+        Hs, Ws = static.H // s, static.W // s
+        gt_img = gt.reshape(Hs, Ws, 3)
+        loss = loss + cfg.lambda_lpips * lpips_distance(
+            lp_params, out["image"].reshape(Hs, Ws, 3), gt_img
+        )
+        if cfg.use_brdf:
+            loss = loss + cfg.lambda_lpips * lpips_distance(
+                lp_params, out["image_brdf"].reshape(Hs, Ws, 3), gt_img
+            )
+
     if cfg.use_brdf:
         loss = loss + L.shading_loss(
             out["diffuse_light"], out["specular_light"],
@@ -147,6 +163,11 @@ def stage1_loss(
             out["kd_grad"], out["ks_grad"], out["normal_grad"],
             cfg.lambda_kd, cfg.lambda_ks, cfg.lambda_nrm,
         )
+        if cfg.lambda_extra_kd > 0 and "normal_ao" in out:
+            # AO-weighted albedo smoothness (reference utils.py:284-288
+            # material_extra_kd_smoothness_grad at :1073-1074)
+            kd_luma = jnp.mean(out["kd_grad"], axis=-1)
+            loss = loss + cfg.lambda_extra_kd * jnp.mean(kd_luma * out["normal_ao"])
         if cfg.lambda_chroma > 0:
             loss = loss + L.chroma_loss(out["kd"], gt, cfg.lambda_chroma)
 
@@ -190,12 +211,26 @@ def stage1_loss(
     return loss, aux
 
 
-def make_train_step(cfg: Config, static: Stage1Static, base_verts, topo: L.MeshTopology):
+def make_train_step(cfg: Config, static: Stage1Static, base_verts, topo: L.MeshTopology,
+                    mesh=None):
+    """With `mesh`, the pixel batch is sharded over the 'data' axis; params
+    replicated; XLA inserts the grad psum and the halo collectives for the
+    image-space passes (spatial reuse, denoise)."""
     opt = make_optimizer(cfg)
     bv = jnp.asarray(base_verts)
 
     @jax.jit
     def train_step(state: Stage1State, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh)
+                if getattr(x, "ndim", 0) >= 1
+                else x,
+                batch,
+            )
         grads, aux = jax.grad(stage1_loss, has_aux=True)(
             state.params, static, bv, topo, batch, key, cfg
         )

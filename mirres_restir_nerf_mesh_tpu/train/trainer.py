@@ -30,7 +30,9 @@ from .metrics import ssim as ssim_fn
 
 
 class Trainer:
-    def __init__(self, name: str, cfg: Config, train_data: FrameData, workspace: Optional[str] = None):
+    def __init__(self, name: str, cfg: Config, train_data: FrameData,
+                 workspace: Optional[str] = None,
+                 nerf_spec: Optional[NeRFSpec] = None):
         self.name = name
         self.cfg = cfg
         self.workspace = workspace or cfg.workspace
@@ -41,12 +43,26 @@ class Trainer:
         self.metrics_writer = MetricsWriter(os.path.join(self.workspace, f"metrics_{name}.jsonl"))
 
         compute_dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
-        self.nerf_spec = NeRFSpec(bound=cfg.bound, sdf=cfg.sdf, compute_dtype=compute_dtype)
+        self.nerf_spec = nerf_spec or NeRFSpec(
+            bound=cfg.bound, sdf=cfg.sdf, compute_dtype=compute_dtype
+        )
         self.sampler = RayDataset(train_data, bound=cfg.bound, background=cfg.background)
         self.train_data = train_data
         self.key = jax.random.PRNGKey(cfg.seed)
         self.global_step = 0
         self.best_metric = -1e9
+
+        # TPU-native data parallelism (reference DDP surface,
+        # nerf/utils.py:761-764): on automatically when >1 device is visible
+        self.mesh = None
+        if cfg.data_parallel and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            if cfg.stage == 0 and cfg.num_rays % n_dev != 0:
+                cfg.num_rays = ((cfg.num_rays + n_dev - 1) // n_dev) * n_dev
+            self.mesh = make_mesh((n_dev,), ("data",))
+            self.log(f"[dp] data-parallel over {n_dev} devices")
 
         # colmap sparse points give a tighter scene AABB (main.py:279-280)
         pts = getattr(train_data, "pts3d", None)
@@ -58,7 +74,9 @@ class Trainer:
 
         if cfg.stage == 0:
             self.state = stage0.init_state(self._next_key(), cfg, self.nerf_spec)
-            self.train_step = stage0.make_train_step(cfg, self.nerf_spec, self.sampler)
+            self.train_step = stage0.make_train_step(
+                cfg, self.nerf_spec, self.sampler, mesh=self.mesh
+            )
             self.occ_update = stage0.make_occ_update(cfg, self.nerf_spec)
             self.render_fn = stage0.make_render_fn(cfg, self.nerf_spec)
             if cfg.mark_untrained:
@@ -76,10 +94,18 @@ class Trainer:
                 self.log(f"[mark_untrained] {int(n_marked)} cells outside all frustums")
             if cfg.ckpt != "scratch":
                 self._try_resume(stage=0)
+            self._maybe_replicate()
         else:
             self._init_stage1()
+            self._maybe_replicate()
 
     # ------------------------------------------------------------------ utils
+    def _maybe_replicate(self) -> None:
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
+
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -142,7 +168,9 @@ class Trainer:
             self.log(f"[stage1] loaded stage-0 field from {p}")
 
         self.state = stage1.init_state(self._next_key(), self.cfg, self.static, nerf_params, verts.shape[0])
-        self.train_step = stage1.make_train_step(self.cfg, self.static, self.base_verts, self.topo)
+        self.train_step = stage1.make_train_step(
+            self.cfg, self.static, self.base_verts, self.topo, mesh=self.mesh
+        )
         self._face_err_acc = np.zeros(tris.shape[0], np.float64)
         self._face_cnt_acc = np.zeros(tris.shape[0], np.float64)
         if cfg.ckpt != "scratch":
@@ -174,9 +202,12 @@ class Trainer:
         params = self.state.params._replace(offsets=jnp.zeros((v2.shape[0], 3), jnp.float32))
         opt = stage1.make_optimizer(cfg)
         self.state = stage1.Stage1State(params=params, opt_state=opt.init(params), step=self.state.step)
-        self.train_step = stage1.make_train_step(cfg, self.static, self.base_verts, self.topo)
+        self.train_step = stage1.make_train_step(
+            cfg, self.static, self.base_verts, self.topo, mesh=self.mesh
+        )
         self._face_err_acc = np.zeros(t2.shape[0], np.float64)
         self._face_cnt_acc = np.zeros(t2.shape[0], np.float64)
+        self._maybe_replicate()
 
     def _try_resume(self, stage: int) -> None:
         which = "best" if self.cfg.ckpt == "best" else "latest"
@@ -297,7 +328,10 @@ class Trainer:
         if not hasattr(self, "_lpips_cache"):
             from .metrics import lpips_fn
 
-            self._lpips_cache = lpips_fn()
+            self._lpips_cache = lpips_fn(self.cfg.lpips_weights)
+            kind = getattr(self._lpips_cache, "kind", "?")
+            if kind != "vgg":
+                self.log(f"[lpips] using '{kind}' fallback (no VGG weights in image)")
         return self._lpips_cache
 
     def _downsample(self, x: np.ndarray, H: int, W: int, ssaa: int) -> np.ndarray:
