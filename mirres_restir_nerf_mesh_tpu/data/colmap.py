@@ -62,6 +62,102 @@ def read_images_binary(path: str) -> Dict[int, dict]:
     return images
 
 
+def extract_sparse_depth(
+    images_meta: Dict[int, dict],
+    keys,
+    poses: np.ndarray,
+    pts3d: np.ndarray,
+    ptserr: np.ndarray,
+    id_map: Dict[int, int],
+    H: int,
+    W: int,
+    downscale: int = 1,
+):
+    """Per-view sparse depth/weight from the COLMAP tracks (reference
+    colmap_provider.py:234-272): for every 2D keypoint with a 3D track,
+    depth = (cam_origin - point) . cam_z  (OpenGL backward z), weight =
+    2*exp(-(err/mean_err)^2).  Returns fixed-capacity padded arrays
+    (coords [F,M,2] int32 (row,col), depth [F,M], weight [F,M]; weight 0 =
+    padding) + cam_near_far [F,2] (min/max track depth per view,
+    colmap_provider.py:270)."""
+    mean_err = max(float(np.mean(ptserr)) if len(ptserr) else 1.0, 1e-8)
+    per_view = []
+    for i, k in enumerate(keys):
+        im = images_meta[k]
+        xys = im["xys"]
+        pids = im["point3D_ids"]
+        # (x,y) -> (row, col), the reference's inverted convention
+        rc = np.stack([xys[:, 1], xys[:, 0]], axis=-1)
+        mask = (pids != -1)
+        rows = []
+        if mask.any():
+            rc = np.round(rc[mask] / downscale).astype(np.int32)
+            rc[:, 0] = rc[:, 0].clip(0, H - 1)
+            rc[:, 1] = rc[:, 1].clip(0, W - 1)
+            ids = np.array([id_map.get(int(p), -1) for p in pids[mask]])
+            ok = ids >= 0
+            rc, ids = rc[ok], ids[ok]
+            pts = pts3d[ids]
+            err = ptserr[ids]
+            P = poses[i]
+            depth = (P[:3, 3][None] - pts) @ P[:3, 2]
+            good = depth > 0
+            weight = 2.0 * np.exp(-((err / mean_err) ** 2))
+            per_view.append((rc[good], depth[good], weight[good]))
+        else:
+            per_view.append((np.zeros((0, 2), np.int32), np.zeros(0), np.zeros(0)))
+
+    F = len(keys)
+    M = max(max((len(d) for _, d, _ in per_view), default=1), 1)
+    coords = np.zeros((F, M, 2), np.int32)
+    depth = np.zeros((F, M), np.float32)
+    weight = np.zeros((F, M), np.float32)
+    near_far = np.tile(np.array([[0.05, 1e9]], np.float32), (F, 1))
+    for i, (rc, d, w) in enumerate(per_view):
+        m = len(d)
+        if m:
+            coords[i, :m] = rc
+            depth[i, :m] = d
+            weight[i, :m] = w
+            near_far[i] = [float(d.min()), float(d.max())]
+    return coords, depth, weight, near_far
+
+
+def align_dense_depth(
+    dense: np.ndarray, coords: np.ndarray, sdepth: np.ndarray, sweight: np.ndarray
+) -> np.ndarray:
+    """Scale/bias-align a monocular dense depth map to the sparse COLMAP
+    depths by RANSAC regression with the reference's negative-scale fallbacks
+    (colmap_provider.py:295-322)."""
+    m = sweight > 0
+    X = dense[coords[m, 0], coords[m, 1]].reshape(-1, 1).astype(np.float64)
+    Y = sdepth[m].astype(np.float64)
+    Wt = sweight[m].astype(np.float64)
+    if len(Y) < 2:
+        return dense
+    try:
+        from sklearn.linear_model import RANSACRegressor
+
+        LR = RANSACRegressor().fit(X, Y, Wt)
+        scale = float(LR.estimator_.coef_[0])
+        bias = float(LR.estimator_.intercept_)
+    except Exception:
+        A = np.stack([X[:, 0], np.ones_like(X[:, 0])], -1)
+        sol, *_ = np.linalg.lstsq(A * Wt[:, None], Y * Wt, rcond=None)
+        scale, bias = float(sol[0]), float(sol[1])
+    if scale < 0:
+        idx = np.argsort(Wt)[::-1]
+        x0, y0 = X[idx[0], 0], Y[idx[0]]
+        x1, y1 = X[idx[1], 0], Y[idx[1]]
+        if abs(x0 - x1) > 1e-12:
+            scale = (y0 - y1) / (x0 - x1)
+            bias = y0 - x0 * scale
+        if scale < 0 and abs(x0) > 1e-12:
+            scale = y0 / x0
+            bias = 0.0
+    return (dense * scale + bias).astype(np.float32)
+
+
 def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray, Dict[int, int]]:
     """points3D.bin -> (xyz [P,3], err [P], id->row)."""
     xyzs, errs, id_map = [], [], {}
@@ -113,7 +209,7 @@ def load_colmap(
         sparse = os.path.join(root, "colmap_sparse", "0")
     cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
     images_meta = read_images_binary(os.path.join(sparse, "images.bin"))
-    pts3d, _, _ = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    pts3d, ptserr, id_map = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
 
     keys = sorted(images_meta.keys(), key=lambda k: images_meta[k]["name"])
     if split == "train":
@@ -175,15 +271,24 @@ def load_colmap(
 
     mvps = compute_mvps(poses, intrinsics, H, W, bound)
 
+    # sparse-depth supervision tables + per-view near/far from the COLMAP
+    # tracks (reference colmap_provider.py:234-272); depths are in the
+    # normalized scene scale because poses/pts3d were normalized above
+    sparse_coords = sparse_depth = sparse_weight = cam_near_far = None
+    if split != "test" and len(pts3d) > 0:
+        sparse_coords, sparse_depth, sparse_weight, cam_near_far = extract_sparse_depth(
+            images_meta, keys, poses, pts3d, ptserr, id_map, H, W, downscale
+        )
+
     # optional dense-depth supervision: precomputed <root>/depths/<name>.npy
-    # (reference colmap_provider.py:272-310; maps are scaled by the same
-    # scene normalization)
+    # (monocular DPT maps, reference colmap_provider.py:272-328), aligned to
+    # the sparse COLMAP depths by RANSAC scale/bias per frame
     depths = None
     ddir = os.path.join(root, "depths")
     if with_images and os.path.isdir(ddir):
         maps = []
         ok = True
-        for k in keys:
+        for i, k in enumerate(keys):
             base = os.path.splitext(images_meta[k]["name"])[0]
             pth = os.path.join(ddir, base + ".npy")
             if not os.path.exists(pth):
@@ -196,12 +301,20 @@ def load_colmap(
                 dm = np.asarray(
                     _Im.fromarray(dm).resize((W, H), _Im.BILINEAR), np.float32
                 )
-            maps.append(dm * scale)
+            if sparse_coords is not None:
+                dm = align_dense_depth(
+                    dm, sparse_coords[i], sparse_depth[i], sparse_weight[i]
+                )
+            else:
+                dm = dm * scale
+            maps.append(dm)
         if ok and maps:
             depths = np.stack(maps)
 
     fd = FrameData(images=images, poses=poses, intrinsics=intrinsics, H=H, W=W,
-                   mvps=mvps, depths=depths)
+                   mvps=mvps, depths=depths, sparse_coords=sparse_coords,
+                   sparse_depth=sparse_depth, sparse_weight=sparse_weight,
+                   cam_near_far=cam_near_far)
     fd.pts3d = pts3d  # sparse points for near/far + aabb estimation
     return fd
 

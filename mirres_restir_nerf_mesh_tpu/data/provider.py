@@ -44,6 +44,12 @@ class FrameData:
     W: int
     mvps: np.ndarray        # [N, 4, 4] proj @ world2cam, for rasterization
     depths: Optional[np.ndarray] = None  # [N, H, W] metric depth supervision
+    # COLMAP sparse-depth supervision, fixed capacity M with weight-0 padding
+    # (reference colmap_provider.py:259-310)
+    sparse_coords: Optional[np.ndarray] = None  # [N, M, 2] int32 (row, col)
+    sparse_depth: Optional[np.ndarray] = None   # [N, M] float32
+    sparse_weight: Optional[np.ndarray] = None  # [N, M] float32 (0 = padding)
+    cam_near_far: Optional[np.ndarray] = None   # [N, 2] per-view near/far
 
     @property
     def num_frames(self) -> int:
@@ -139,6 +145,13 @@ class RayDataset:
         # reference colmap_provider.py:272-310)
         depths = getattr(data, "depths", None)
         self.depths = jnp.asarray(depths) if depths is not None else None
+        sc = getattr(data, "sparse_coords", None)
+        self.sparse_coords = jnp.asarray(sc) if sc is not None else None
+        if sc is not None:
+            self.sparse_depth = jnp.asarray(data.sparse_depth)
+            self.sparse_weight = jnp.asarray(data.sparse_weight)
+        cnf = getattr(data, "cam_near_far", None)
+        self.cam_near_far = jnp.asarray(cnf) if cnf is not None else None
 
     def sample(self, key: jax.Array, num_rays: int) -> Dict[str, jnp.ndarray]:
         k_img, k_pix, k_bg = jax.random.split(key, 3)
@@ -162,6 +175,32 @@ class RayDataset:
         else:
             img_idx = jax.random.randint(k_img, (num_rays,), 0, n_frames)
             pix_idx = jax.random.randint(k_pix, (num_rays,), 0, self.H * self.W)
+
+        depth = None
+        depth_weight = None
+        if self.depths is not None:
+            depth = self.depths.reshape(n_frames, -1)[img_idx, pix_idx]
+        if self.sparse_coords is not None and self.patch_size <= 1:
+            # with prob 0.1 the whole batch becomes sparse-depth rays of ONE
+            # frame (reference colmap_provider.py:510-522 collate branch)
+            k_sd, k_f, k_m = jax.random.split(k_bg, 3)
+            use_sparse = jax.random.uniform(k_sd, ()) < 0.1
+            f_id = jax.random.randint(k_f, (), 0, n_frames)
+            M = self.sparse_coords.shape[1]
+            m = jax.random.randint(k_m, (num_rays,), 0, M)
+            rc = self.sparse_coords[f_id, m]                       # [N,2] row,col
+            sp_pix = rc[:, 0] * self.W + rc[:, 1]
+            sp_depth = self.sparse_depth[f_id, m]
+            sp_weight = self.sparse_weight[f_id, m]
+            img_idx = jnp.where(use_sparse, jnp.full_like(img_idx, f_id), img_idx)
+            pix_idx = jnp.where(use_sparse, sp_pix, pix_idx)
+            depth = jnp.where(
+                use_sparse, sp_depth, depth if depth is not None else jnp.zeros((num_rays,))
+            )
+            depth_weight = jnp.where(
+                use_sparse, sp_weight,
+                jnp.ones((num_rays,)) if self.depths is not None else jnp.zeros((num_rays,)),
+            )
 
         flat = self.images.reshape(n_frames, self.H * self.W, -1)
         rgba = flat[img_idx, pix_idx]  # [N, C]
@@ -195,8 +234,12 @@ class RayDataset:
             "bg_color": bg,
             "index": img_idx,
         }
-        if self.depths is not None:
-            out["depth"] = self.depths.reshape(n_frames, -1)[img_idx, pix_idx]
+        if depth is not None:
+            out["depth"] = depth
+            if depth_weight is not None:
+                out["depth_weight"] = depth_weight
+        if self.cam_near_far is not None:
+            out["cam_near_far"] = self.cam_near_far[img_idx]
         return out
 
     def frame_rays(self, idx: int, ssaa: int = 1) -> Dict[str, jnp.ndarray]:

@@ -46,22 +46,36 @@ def mark_unseen_triangles(
     intrinsics: np.ndarray,  # [4]
     H: int,
     W: int,
+    downscale: int = 1,
 ) -> np.ndarray:
-    """True for triangles whose centroid is never inside any training frustum
-    (approximation of the reference's rasterization-based culling,
-    renderer.py:1400-1434; conservative: only frustum test, no z-buffer)."""
-    cent = verts[tris].mean(axis=1)  # [T,3]
-    fx, fy, cx, cy = intrinsics
-    R = poses[:, :3, :3]
-    t = poses[:, :3, 3]
-    rel = cent[None, :, :] - t[:, None, :]
-    cam = np.einsum("mij,mnj->mni", np.swapaxes(R, 1, 2), rel)
-    z = -cam[..., 2]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        u = cam[..., 0] / np.maximum(z, 1e-8) * fx + cx
-        v = -cam[..., 1] / np.maximum(z, 1e-8) * fy + cy
-    seen = (z > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    return ~seen.any(axis=0)
+    """True for triangles hit by NO training-view pixel ray.
+
+    Occlusion-exact parity with the reference's z-buffered
+    `dr.rasterize` + triangle-id collection (renderer.py:1400-1434): casting
+    every pixel ray through the production tracer and keeping closest-hit
+    face ids IS a z-buffer — interior junk that a frustum test would keep is
+    culled.  `downscale` mirrors the reference's 'lower resolution' note."""
+    import jax
+
+    from ..data.rays import get_rays
+    from ..ops.tracer import build_tracer
+
+    Hs, Ws = max(H // downscale, 1), max(W // downscale, 1)
+    intr = np.asarray(intrinsics, np.float32) / downscale
+    tracer = build_tracer(jnp.asarray(verts), jnp.asarray(tris.astype(np.int32)))
+
+    @jax.jit
+    def prim_ids(pose):
+        r = get_rays(pose[None], jnp.asarray(intr), Hs, Ws)
+        hit = tracer.intersect(r["rays_o"], r["rays_d"])
+        return hit.prim
+
+    seen = np.zeros((tris.shape[0],), bool)
+    for p in poses:
+        ids = np.asarray(prim_ids(jnp.asarray(p)))
+        ids = ids[ids >= 0]
+        seen[np.unique(ids)] = True
+    return ~seen
 
 
 def export_stage0_mesh(

@@ -123,9 +123,12 @@ def stage0_loss(
         )
 
     if "depth" in batch and cfg.lambda_depth > 0:
+        # sparse/dense depth supervision with per-ray confidence weights and
+        # the 1000-step lambda ramp (reference utils.py:979-1000)
         lam = cfg.lambda_depth * jnp.minimum(1.0, step.astype(jnp.float32) / 1000.0)
         mask = batch["depth"] > 0
-        loss = loss + lam * jnp.mean(mask * (out["depth"] - batch["depth"]) ** 2)
+        w = batch.get("depth_weight", 1.0)
+        loss = loss + lam * jnp.mean(w * mask * (out["depth"] - batch["depth"]) ** 2)
 
     if cfg.lambda_tv > 0:
         # TV on hash grid at the marched sample locations (reference

@@ -79,3 +79,44 @@ def test_stage1_export_bake(tmp_path):
     nv = sum(1 for l in lines if l.startswith("v "))
     nf = sum(1 for l in lines if l.startswith("f "))
     assert nv == v.shape[0] and nf == t.shape[0]
+
+
+def test_mark_unseen_triangles_is_occlusion_aware():
+    """z-buffered culling parity (reference renderer.py:1400-1434): an inner
+    sphere fully occluded by an outer shell must be marked unseen even though
+    its centroids lie inside every camera frustum (the round-1 frustum test
+    kept such interior junk)."""
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_antialias import make_sphere
+    from mirres_restir_nerf_mesh_tpu.export.stage0_export import mark_unseen_triangles
+
+    vo, to = make_sphere(radius=0.6)
+    vi, ti = make_sphere(radius=0.2)
+    verts = np.concatenate([vo, vi])
+    tris = np.concatenate([to, ti + vo.shape[0]]).astype(np.int32)
+    n_outer = to.shape[0]
+
+    # 4 cameras on the x/y axes looking at the origin (the lat-long sphere
+    # fixture has small pole holes along z, so z-axis views could legitimately
+    # peek inside)
+    poses = []
+    for axis in range(2):
+        for sgn in (1.0, -1.0):
+            z = np.zeros(3); z[axis] = sgn          # camera backward = +view
+            up = np.array([0.0, 1.0, 0.0]) if axis != 1 else np.array([1.0, 0, 0])
+            x = np.cross(up, z); x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            p = np.eye(4, dtype=np.float32)
+            p[:3, 0], p[:3, 1], p[:3, 2] = x, y, z
+            p[:3, 3] = z * 2.0
+            poses.append(p)
+    poses = np.stack(poses)
+    intr = np.array([80.0, 80.0, 32.0, 32.0], np.float32)
+
+    unseen = mark_unseen_triangles(verts, tris, poses, intr, 64, 64)
+    # every inner-sphere face is occluded by the shell
+    assert unseen[n_outer:].all()
+    # most of the outer shell is seen from the 6 viewpoints
+    assert unseen[:n_outer].mean() < 0.45  # 4 side views leave polar bands unseen
