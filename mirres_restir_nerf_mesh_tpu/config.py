@@ -62,11 +62,21 @@ class Config:
     # vendored LPIPS VGG weights (.npz); empty -> deterministic random-VGG
     # perceptual fallback (train/lpips.py; zero-egress image has no weights)
     lpips_weights: str = ""
+    # stage-1 pixel-chunked training: train on a band of this many image rows
+    # per step instead of the full frame (0 = full frame).  Keeps the
+    # image-space ReSTIR/denoise/antialias passes intact within the band;
+    # bands cycle across steps.  Memory fallback for 800^2 x spp 32 frames.
+    stage1_rows: int = 0
     cuda_ray: bool = True         # parity flag; always grid-accelerated here
     max_steps: int = 1024
     update_extra_interval: int = 16
     max_ray_batch: int = 4096
     grid_size: int = 128
+    # hash-encoder size knobs (reference tcnn config is fixed at 16L/2^19,
+    # gridencoder/grid.py; exposed here for small-scale runs and tests)
+    hash_levels: int = 16
+    hash_log2_size: int = 19
+    hash_max_res: int = 0         # 0 -> 2048 * bound
     mark_untrained: bool = False
     dt_gamma: float = 1.0 / 256.0
     density_thresh: float = 10.0

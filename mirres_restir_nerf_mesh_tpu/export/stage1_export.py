@@ -57,6 +57,162 @@ def grid_atlas(n_tris: int, texture_size: int) -> Tuple[np.ndarray, np.ndarray, 
     return uv_flat, uv_tris, cells
 
 
+def chart_atlas(
+    verts: np.ndarray,
+    tris: np.ndarray,
+    texture_size: int,
+    cone: float = 0.7,
+    max_chart_faces: int = 20000,
+    gutter_px: float = 2.0,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Chart-based UV unwrap (xatlas-quality packing without the xatlas dep).
+
+    Mirrors the reference's xatlas usage with chart merging disabled
+    (renderer.py:334-342, max_iterations=0 -> simple projected charts):
+      1. segment faces into normal-coherent connected charts by region
+         growing (face joins while dot(face_n, seed_n) > cone, which keeps
+         the chart a height field along the seed normal -> fold-free planar
+         projection);
+      2. project each chart onto the seed normal's tangent plane;
+      3. shelf-pack chart rectangles at uniform world->texel density (binary
+         search on the global scale), with a gutter against bleeding.
+
+    Returns the same contract as grid_atlas: (uv_flat [F*3,2], uv_tris [F,3],
+    n_charts).  Texel utilization is chart-area-bound instead of the grid
+    atlas's 2-triangles-per-cell waste.
+    """
+    F = tris.shape[0]
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    area2 = np.linalg.norm(fn, axis=1)
+    fn = fn / np.maximum(area2[:, None], 1e-20)
+
+    # face adjacency via shared (sorted) edges
+    edges = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    face_of_edge = np.tile(np.arange(F), 3)
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    es, fs = edges[order], face_of_edge[order]
+    same = (es[1:] == es[:-1]).all(axis=1)
+    pa, pb = fs[:-1][same], fs[1:][same]
+    adj = [[] for _ in range(F)]
+    for a, b in zip(pa, pb):
+        adj[a].append(b)
+        adj[b].append(a)
+
+    # region growing, largest faces first
+    assigned = np.full(F, -1, np.int64)
+    charts = []
+    for seed in np.argsort(-area2):
+        if assigned[seed] >= 0:
+            continue
+        cid = len(charts)
+        seed_n = fn[seed]
+        stack = [int(seed)]
+        assigned[seed] = cid
+        members = []
+        while stack and len(members) < max_chart_faces:
+            f = stack.pop()
+            members.append(f)
+            for g in adj[f]:
+                if assigned[g] < 0 and float(fn[g] @ seed_n) > cone:
+                    assigned[g] = cid
+                    stack.append(g)
+        charts.append((members, seed_n))
+
+    # per-chart planar projection
+    chart_uv = []   # per chart: (uv [m,3,2] in world units, w, h)
+    for members, n in charts:
+        a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
+        t1 = np.cross(n, a)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        tri_v = verts[tris[members]]                       # [m,3,3]
+        uv = np.stack([tri_v @ t1, tri_v @ t2], axis=-1)   # [m,3,2]
+        lo = uv.reshape(-1, 2).min(axis=0)
+        uv = uv - lo
+        hi = uv.reshape(-1, 2).max(axis=0)
+        chart_uv.append((uv, float(hi[0]), float(hi[1])))
+
+    # shelf packing at global scale s (texels per world unit), binary search
+    T = texture_size
+    gut = gutter_px / T
+
+    def try_pack(s):
+        rects = sorted(
+            range(len(chart_uv)), key=lambda i: -(chart_uv[i][2] * s)
+        )
+        pos = [None] * len(chart_uv)
+        x = y = shelf_h = 0.0
+        for i in rects:
+            w = chart_uv[i][1] * s + gut
+            h = chart_uv[i][2] * s + gut
+            if w > 1.0 or h > 1.0:
+                return None
+            if x + w > 1.0:
+                y += shelf_h
+                x = 0.0
+                shelf_h = 0.0
+            if y + h > 1.0:
+                return None
+            pos[i] = (x, y)
+            x += w
+            shelf_h = max(shelf_h, h)
+        return pos
+
+    total_area = sum(w * h for _, w, h in chart_uv)
+    hi = 1.2 / max(np.sqrt(total_area), 1e-12)
+    lo = hi * 1e-3
+    pos = try_pack(lo)
+    if pos is None:
+        raise RuntimeError("chart packing failed")
+    for _ in range(24):  # bisect the largest feasible uniform density
+        mid = 0.5 * (lo + hi)
+        p = try_pack(mid)
+        if p is not None:
+            lo, pos = mid, p
+        else:
+            hi = mid
+    s = lo
+
+    uvs = np.zeros((F, 3, 2), np.float32)
+    for ci, ((uv, w, h), (members, _)) in enumerate(zip(chart_uv, charts)):
+        ox, oy = pos[ci]
+        uvs[np.asarray(members, np.int64)] = uv * s + np.array([ox, oy]) + gut * 0.5
+    uv_flat = uvs.reshape(-1, 2)
+    uv_tris = np.arange(F * 3, dtype=np.int32).reshape(-1, 3)
+    return uv_flat, uv_tris, len(charts)
+
+
+def knn_inpaint(feat: np.ndarray, covered: np.ndarray, pad: int = 32) -> np.ndarray:
+    """Nearest-covered-texel inpainting of the atlas margins (reference
+    renderer.py:400-417: dilate the coverage mask, 1-NN fill from the mask
+    boundary ring)."""
+    from scipy.ndimage import binary_dilation, binary_erosion
+    from scipy.spatial import cKDTree
+
+    mask = covered.astype(bool)
+    if mask.all() or not mask.any():
+        return feat
+    inpaint_region = binary_dilation(mask, iterations=pad)
+    inpaint_region[mask] = False
+    search_region = mask.copy()
+    interior = binary_erosion(search_region, iterations=3)
+    search_region[interior] = False
+    if not search_region.any():
+        search_region = mask
+    sc = np.stack(np.nonzero(search_region), axis=-1)
+    ic = np.stack(np.nonzero(inpaint_region), axis=-1)
+    if len(ic) == 0:
+        return feat
+    _, idx = cKDTree(sc).query(ic, k=1)
+    out = feat.copy()
+    out[tuple(ic.T)] = feat[tuple(sc[idx].T)]
+    return out
+
+
 def bake_textures(
     verts: np.ndarray,
     tris: np.ndarray,
@@ -117,22 +273,8 @@ def bake_textures(
         feat[px[:, 0], px[:, 1]] = mats
         weight[px[:, 0], px[:, 1]] = 1.0
 
-    # margin dilation (replaces the reference's KNN inpaint, renderer.py:404-417)
-    for _ in range(4):
-        empty = weight == 0
-        if not empty.any():
-            break
-        acc = np.zeros_like(feat)
-        cnt = np.zeros_like(weight)
-        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            sh = np.roll(feat, (dy, dx), axis=(0, 1))
-            shw = np.roll(weight, (dy, dx), axis=(0, 1))
-            acc += sh * shw[..., None]
-            cnt += shw
-        fill = cnt > 0
-        upd = empty & fill
-        feat[upd] = acc[upd] / cnt[upd][..., None]
-        weight[upd] = 1.0
+    # KNN margin inpaint (reference renderer.py:400-417)
+    feat = knn_inpaint(feat, weight > 0)
 
     kd = feat[..., 0:3]
     ks = feat[..., 3:6]
@@ -146,12 +288,16 @@ def export_stage1_mesh(
     workspace: str,
     texture_size: int = 1024,
     cascade_id: int = 0,
+    atlas: str = "chart",
 ) -> str:
     """Full export: atlas + bake + PNG textures + OBJ/MTL. Returns obj path."""
     from PIL import Image
 
     os.makedirs(workspace, exist_ok=True)
-    uv_flat, uv_tris, _ = grid_atlas(tris.shape[0], texture_size)
+    if atlas == "chart":
+        uv_flat, uv_tris, _ = chart_atlas(verts, tris, texture_size)
+    else:
+        uv_flat, uv_tris, _ = grid_atlas(tris.shape[0], texture_size)
     kd, ks = bake_textures(verts, tris, uv_flat, material_fn, texture_size)
 
     kd_srgb = np.asarray(linear_to_srgb(jnp.asarray(np.clip(kd, 0, 1))))

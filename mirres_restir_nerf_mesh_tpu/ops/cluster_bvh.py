@@ -130,12 +130,17 @@ def _mt_soa(comp, ox, oy, oz, dx, dy, dz, t_min):
 
 
 def _finish(cm, best_lin, best_t, best_u, best_v, t_max_arr, verts_geom=None):
-    """Resolve linear slot -> prim id + geometric normal."""
+    """Resolve linear slot -> prim id + geometric normal.
+
+    ONE wide-row gather from the [C*S, 10] packed table; gathering columns of
+    the [10, C*S] SoA copy instead costs ~35x more (minor-dim strided gather,
+    measured ~200 ms at 65k rays on v5e)."""
     miss = ~jnp.isfinite(best_t) | (best_t >= t_max_arr)
     lin = jnp.clip(best_lin, 0, cm.soa.shape[1] - 1)
-    e1 = cm.soa[3:6, lin].T
-    e2 = cm.soa[6:9, lin].T
-    prim = cm.soa[9, lin].astype(jnp.int32)
+    rows = cm.packed.reshape(-1, cm.packed.shape[-1])[lin]   # [N, 10]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    prim = rows[:, 9].astype(jnp.int32)
     nrm = jnp.cross(e1, e2)
     return HitResult(
         t=jnp.where(miss, jnp.inf, best_t),

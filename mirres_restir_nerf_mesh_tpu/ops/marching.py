@@ -139,6 +139,7 @@ def march_rays(
     """
     N = rays_o.shape[0]
     S = max_steps
+    K = min(K, S)  # can't emit more samples than lattice candidates
     H = occ.shape[1]
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 * bound / H

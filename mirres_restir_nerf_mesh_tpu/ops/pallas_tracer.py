@@ -161,9 +161,10 @@ def pallas_intersect(verts: jnp.ndarray, tris: jnp.ndarray,
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (rays_o.shape[0],))
     miss = (best_t >= jnp.minimum(BIG * 0.5, t_max_arr)) | (best_lin < 0)
     lin = jnp.clip(best_lin, 0, cm.shape[1] - 1)
-    e1 = cm[3:6, lin].T
-    e2 = cm[6:9, lin].T
-    prim = cm[9, lin].astype(jnp.int32)
+    rows = cm.T[lin]  # ONE wide-row gather (column gathers are ~35x slower)
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    prim = rows[:, 9].astype(jnp.int32)
     return HitResult(
         t=jnp.where(miss, jnp.inf, best_t),
         prim=jnp.where(miss, -1, prim),

@@ -378,11 +378,20 @@ def tile_trace(
         False,
     )
     if inv_perm is not None:
+        # un-permute all fields with ONE wide-row gather
+        packed_res = jnp.concatenate(
+            [
+                hit.t[:, None], hit.prim.astype(jnp.float32)[:, None],
+                hit.u[:, None], hit.v[:, None], hit.normal,
+                uncertain.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )[inv_perm]
         hit = HitResult(
-            t=hit.t[inv_perm], prim=hit.prim[inv_perm], u=hit.u[inv_perm],
-            v=hit.v[inv_perm], normal=hit.normal[inv_perm],
+            t=packed_res[:, 0], prim=packed_res[:, 1].astype(jnp.int32),
+            u=packed_res[:, 2], v=packed_res[:, 3], normal=packed_res[:, 4:7],
         )
-        uncertain = uncertain[inv_perm]
+        uncertain = packed_res[:, 7] > 0.5
     return TileTraceOut(hit=hit, uncertain=uncertain)
 
 

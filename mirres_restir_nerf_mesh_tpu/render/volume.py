@@ -38,6 +38,7 @@ def render_rays(
     cos_anneal_ratio: float = 1.0,
     cam_near_far: Optional[jnp.ndarray] = None,
     stochastic_key: Optional[jax.Array] = None,
+    compact_points: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render N rays. Returns image [N,3], depth [N], weights_sum [N], plus
     training extras (weights, xyzs, valid, sigmas, normals in sdf mode)."""
@@ -71,6 +72,38 @@ def render_rays(
         results["normal"] = raw_normal.reshape(N, Kk, 3)
         results["sdf"] = sdf.reshape(N, Kk)
         alpha_mode = True
+    elif compact_points is not None and compact_points < N * Kk:
+        # cross-ray compaction (the reference's M-point compacted buffer,
+        # raymarching.cu kernel_march_rays_train two-pass design): the field
+        # runs ONLY on valid march samples.  With a trained occupancy grid
+        # most of the fixed [N,K] lattice is masked; the hash-grid encoder is
+        # the dominant cost (~766 ns/point on v5e), so skipping masked points
+        # is a direct multiple.  Static shapes: capacity `compact_points`
+        # (cfg.num_points, reference main.py:72), ray-ordered truncation on
+        # overflow like the reference's adaptive ray-count target.
+        NK = N * Kk
+        M = compact_points
+        valid_flat = m.valid.reshape(-1)
+        # stable sort: valid indices first, original order preserved (~1 ms)
+        _, order = jax.lax.sort_key_val(
+            (~valid_flat).astype(jnp.int32), jnp.arange(NK, dtype=jnp.int32)
+        )
+        idx = order[:M]
+        packed_in = jnp.concatenate([pts, dirs], axis=1)[idx]   # one row gather
+        sig_c, rgb_c = nerf_model.forward(
+            params, packed_in[:, 0:3], packed_in[:, 3:6], spec,
+            max_level=max_level, stochastic_key=stochastic_key,
+        )
+        packed_out = jnp.concatenate(
+            [sig_c[:, None].astype(jnp.float32), rgb_c.astype(jnp.float32)], axis=1
+        )
+        rank = jnp.cumsum(valid_flat) - 1                       # [NK]
+        in_compact = valid_flat & (rank < M)
+        got = packed_out[jnp.clip(rank, 0, M - 1)]              # one row gather
+        sigmas = jnp.where(in_compact, got[:, 0], 0.0)
+        rgbs = jnp.where(in_compact[:, None], got[:, 1:4], 0.0)
+        sig_for_comp = sigmas.reshape(N, Kk)
+        alpha_mode = False
     else:
         sigmas, rgbs = nerf_model.forward(
             params, pts, dirs, spec, max_level=max_level, stochastic_key=stochastic_key

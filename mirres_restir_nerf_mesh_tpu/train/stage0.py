@@ -100,6 +100,10 @@ def stage0_loss(
         contract=cfg.contract, max_level=max_level, cos_anneal_ratio=cos_anneal,
         cam_near_far=batch.get("cam_near_far"),
         stochastic_key=k_stoch if cfg.stochastic_interp else None,
+        # adaptive_num_rays (-O): the reference adapts the ray count to a
+        # num_points budget (utils.py:1133-1134); with static shapes the same
+        # budget is enforced by cross-ray compaction of the field evaluation
+        compact_points=cfg.num_points if cfg.adaptive_num_rays else None,
     )
 
     pred = out["image"]

@@ -44,7 +44,10 @@ class Trainer:
 
         compute_dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
         self.nerf_spec = nerf_spec or NeRFSpec(
-            bound=cfg.bound, sdf=cfg.sdf, compute_dtype=compute_dtype
+            bound=cfg.bound, sdf=cfg.sdf, compute_dtype=compute_dtype,
+            grid_levels=cfg.hash_levels,
+            grid_log2_hashmap_size=cfg.hash_log2_size,
+            grid_desired_resolution=cfg.hash_max_res,
         )
         self.sampler = RayDataset(train_data, bound=cfg.bound, background=cfg.background)
         self.train_data = train_data
@@ -137,6 +140,13 @@ class Trainer:
         )
         ssaa = max(int(cfg.ssaa), 1)
         H, W = self.train_data.H * ssaa, self.train_data.W * ssaa
+        # pixel-chunked fallback: the train step renders a row band
+        self.stage1_rows = int(cfg.stage1_rows)
+        if self.stage1_rows > 0:
+            assert self.train_data.H % self.stage1_rows == 0, (
+                "stage1_rows must divide the image height"
+            )
+            H = self.stage1_rows * ssaa
         de = 4 if cfg.use_restir else 0
         self.static = Stage1Static(
             tris=jnp.asarray(tris), nerf_spec=self.nerf_spec, mat_spec=mat_spec,
@@ -279,13 +289,29 @@ class Trainer:
                     self.save_checkpoint(best=True)
 
     def _stage1_batch(self, i: int) -> Dict[str, jnp.ndarray]:
+        ssaa = max(int(self.cfg.ssaa), 1)
         f = self.sampler.frame_rays(
-            i % self.train_data.num_frames, ssaa=max(int(self.cfg.ssaa), 1)
+            i % self.train_data.num_frames, ssaa=ssaa
         )
-        return {
+        batch = {
             "rays_o": f["rays_o"], "rays_d": f["rays_d"],
             "pixels": f["pixels"], "alpha": f["alpha"],
         }
+        if self.stage1_rows > 0:
+            # row-band chunking: slice a contiguous band (image-space passes
+            # stay valid inside the band); bands cycle across steps
+            Hb = self.train_data.H
+            n_bands = Hb // self.stage1_rows
+            b = (i // max(self.train_data.num_frames, 1)) % n_bands
+            Ws = self.train_data.W * ssaa
+            r0 = b * self.stage1_rows
+            sl_hi = slice(r0 * ssaa * Ws, (r0 + self.stage1_rows) * ssaa * Ws)
+            sl_lo = slice(r0 * self.train_data.W, (r0 + self.stage1_rows) * self.train_data.W)
+            batch = {
+                "rays_o": batch["rays_o"][sl_hi], "rays_d": batch["rays_d"][sl_hi],
+                "pixels": batch["pixels"][sl_lo], "alpha": batch["alpha"][sl_lo],
+            }
+        return batch
 
     # ----------------------------------------------------------------- eval
     def evaluate(
@@ -369,8 +395,15 @@ class Trainer:
         if self.cfg.use_hdr:
             exposure = jnp.asarray(2.0 ** self.cfg.exposure)
 
+        static = self.static
+        if getattr(self, "stage1_rows", 0) > 0:
+            import dataclasses
+
+            static = dataclasses.replace(
+                static, H=sampler.H * ssaa
+            )  # eval renders full frames even when training is row-banded
         out = render_stage1(
-            self.state.params, self.static, jnp.asarray(self.base_verts),
+            self.state.params, static, jnp.asarray(self.base_verts),
             f["rays_o"], f["rays_d"], self._next_key(),
             relight_env=relight_env, albedo_scale=albedo_scale,
             exposure_scale=exposure,

@@ -120,3 +120,78 @@ def test_mark_unseen_triangles_is_occlusion_aware():
     assert unseen[n_outer:].all()
     # most of the outer shell is seen from the 6 viewpoints
     assert unseen[:n_outer].mean() < 0.45  # 4 side views leave polar bands unseen
+
+
+def test_chart_atlas_sphere():
+    """Chart unwrap invariants (xatlas-parity packing, renderer.py:334-342):
+    UVs in [0,1], positive UV area, charts don't overlap (strict-interior
+    texels claimed once), and utilization beats the 2-tri grid atlas."""
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_antialias import make_sphere
+    from mirres_restir_nerf_mesh_tpu.export.stage1_export import chart_atlas, grid_atlas
+
+    verts, tris = make_sphere(n_theta=20, n_phi=40, radius=0.6)
+    T = 256
+    uv_flat, uv_tris, n_charts = chart_atlas(verts, tris, T)
+    assert n_charts > 1
+    uv = uv_flat.reshape(-1, 3, 2)
+    assert (uv >= -1e-6).all() and (uv <= 1 + 1e-6).all()
+
+    e1 = uv[:, 1] - uv[:, 0]
+    e2 = uv[:, 2] - uv[:, 0]
+    area = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    assert (area > 1e-12).all(), "degenerate UV triangles"
+
+    # no overlap: strictly-interior texels belong to at most one face
+    count = np.zeros((T, T), np.int32)
+    for i in range(tris.shape[0]):
+        t = uv[i] * T
+        lo = np.floor(t.min(0)).astype(int).clip(0, T - 1)
+        hi = np.ceil(t.max(0)).astype(int).clip(0, T)
+        xs, ys = np.meshgrid(np.arange(lo[0], hi[0]), np.arange(lo[1], hi[1]), indexing="ij")
+        p = np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], -1)
+        a, b, c = t
+        den = (b[1]-c[1])*(a[0]-c[0]) + (c[0]-b[0])*(a[1]-c[1])
+        if abs(den) < 1e-9:
+            continue
+        w0 = ((b[1]-c[1])*(p[:,0]-c[0]) + (c[0]-b[0])*(p[:,1]-c[1])) / den
+        w1 = ((c[1]-a[1])*(p[:,0]-c[0]) + (a[0]-c[0])*(p[:,1]-c[1])) / den
+        w2 = 1 - w0 - w1
+        inside = (w0 > 0.05) & (w1 > 0.05) & (w2 > 0.05)
+        count[p[inside, 0].astype(int), p[inside, 1].astype(int)] += 1
+    assert count.max() <= 1, "chart UV triangles overlap"
+
+    # texel-density uniformity: UV area proportional to world area (the grid
+    # atlas gives every face the same footprint regardless of world size —
+    # the quality gap VERDICT flagged)
+    wv = verts[tris]
+    we1, we2 = wv[:, 1] - wv[:, 0], wv[:, 2] - wv[:, 0]
+    warea = 0.5 * np.linalg.norm(np.cross(we1, we2), axis=1)
+    keep = warea > np.percentile(warea, 5)  # drop degenerate pole slivers
+    dens = area[keep] / warea[keep]
+    assert dens.std() / dens.mean() < 0.3, "chart texel density not uniform"
+
+    guv, _, _ = grid_atlas(tris.shape[0], T)
+    guv = guv.reshape(-1, 3, 2)
+    ge1, ge2 = guv[:, 1] - guv[:, 0], guv[:, 2] - guv[:, 0]
+    garea = 0.5 * np.abs(ge1[:, 0] * ge2[:, 1] - ge1[:, 1] * ge2[:, 0])
+    gdens = garea[keep] / warea[keep]
+    assert dens.std() / dens.mean() < 0.5 * gdens.std() / gdens.mean()
+
+
+def test_knn_inpaint_fills_margins():
+    import numpy as np
+    from mirres_restir_nerf_mesh_tpu.export.stage1_export import knn_inpaint
+
+    feat = np.zeros((64, 64, 3), np.float32)
+    covered = np.zeros((64, 64), bool)
+    feat[20:40, 20:40] = (0.2, 0.5, 0.8)
+    covered[20:40, 20:40] = True
+    out = knn_inpaint(feat, covered, pad=8)
+    # ring around the block takes the block's value
+    assert np.allclose(out[18, 30], (0.2, 0.5, 0.8))
+    assert np.allclose(out[30, 45], (0.2, 0.5, 0.8))
+    # untouched far region stays zero
+    assert np.allclose(out[0, 0], 0)
