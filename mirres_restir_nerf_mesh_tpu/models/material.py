@@ -56,9 +56,16 @@ def init_material(key: jax.Array, spec: MaterialSpec) -> Dict[str, Any]:
     }
 
 
-def sample_material(params: Dict[str, Any], x: jnp.ndarray, spec: MaterialSpec) -> jnp.ndarray:
-    """x [N,3] in [-bound, bound] -> material [N, 6] in [min, max]."""
-    h = hashgrid_encode(params["encoder"], x, spec.grid, bound=spec.bound)
+def sample_material(params: Dict[str, Any], x: jnp.ndarray, spec: MaterialSpec,
+                    stochastic_key=None) -> jnp.ndarray:
+    """x [N,3] in [-bound, bound] -> material [N, 6] in [min, max].
+
+    stochastic_key: use the unbiased one-corner hash-grid estimator (8x fewer
+    gathers).  Right for Monte-Carlo consumers (bounce-hit material re-query,
+    reference mlp_mat.sample_no_di) where the variance folds into the path
+    noise; keep None for the differentiable primary-hit query."""
+    h = hashgrid_encode(params["encoder"], x, spec.grid, bound=spec.bound,
+                        stochastic_key=stochastic_key)
     dtype = spec.compute_dtype
     h = h.astype(dtype)
     h = jax.nn.relu(h @ params["net"][0].astype(dtype))

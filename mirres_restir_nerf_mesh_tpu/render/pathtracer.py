@@ -189,7 +189,7 @@ def trace_bounce(
     env Le with MIS weight. Returns (radiance contribution [N,3], next state,
     hit positions for material re-query diagnostics)."""
     sg = jax.lax.stop_gradient
-    k_nee, k_next = jax.random.split(key)
+    k_nee, k_next, k_mat = jax.random.split(key, 3)
 
     # bounce directions span the hemisphere -> direction-incoherent budget
     hit = tracer.intersect(state.origin, state.direction, incoherent=True)
@@ -213,7 +213,10 @@ def trace_bounce(
     )
     pos, nrm = sg(pos), sg(nrm)
 
-    mat = sg(material_fn(pos))  # [N,6]
+    # material re-query at the bounce hit (reference mlp_mat.sample_no_di):
+    # the one-corner stochastic hash lookup is unbiased and its variance
+    # folds into the Monte-Carlo path noise; 8x fewer table gathers
+    mat = sg(material_fn(pos, k_mat))  # [N,6]
     kd, rough, metal = mat[:, 0:3], mat[:, 4], mat[:, 5]
     alpha = brdf.alpha_from_roughness(rough)
     w_view = brdf.to_local(-state.direction, nrm)

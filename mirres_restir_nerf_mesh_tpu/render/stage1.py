@@ -158,8 +158,10 @@ def render_stage1(
     env_dist = envlight.build_distribution(jax.lax.stop_gradient(env_tex))
     kd_shade = kd if albedo_scale is None else kd * albedo_scale[None, :]
 
-    def material_fn(pts):
-        m = material_mod.sample_material(params.mat, pts, static.mat_spec)
+    def material_fn(pts, stochastic_key=None):
+        m = material_mod.sample_material(
+            params.mat, pts, static.mat_spec, stochastic_key=stochastic_key
+        )
         if albedo_scale is not None:
             m = m.at[:, 0:3].multiply(albedo_scale[None, :])
         return m

@@ -79,10 +79,17 @@ def test_lambda_extra_kd_loss_wired():
     from mirres_restir_nerf_mesh_tpu.render.stage1 import (
         Stage1Params, Stage1Static, render_stage1,
     )
-    from tests.test_antialias import make_sphere, camera_rays, H as HH
+    from tests.test_antialias import make_sphere
 
+    HH = 32  # small frame: the compile cost dominates this CPU test
     verts, tris = make_sphere()
-    rays_o, rays_d = camera_rays()
+    ys, xs = np.meshgrid(
+        np.linspace(-0.5, 0.5, HH), np.linspace(-0.5, 0.5, HH), indexing="ij"
+    )
+    d = np.stack([xs, ys, -np.ones_like(xs)], -1).reshape(-1, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays_o = jnp.asarray(np.tile(np.array([0, 0, 2.2], np.float32), (d.shape[0], 1)))
+    rays_d = jnp.asarray(d)
     spec = NeRFSpec(bound=1.0, grid_levels=4, grid_log2_hashmap_size=12,
                     grid_desired_resolution=32, hidden_dim=16, hidden_dim_color=16,
                     geo_feat_dim=7)

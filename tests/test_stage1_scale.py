@@ -43,7 +43,7 @@ def test_stage1_row_band_training(tmp_path):
     data = make_synthetic_dataset(n_frames=2, H=32, W=32, bound=1.0)
     cfg = finalize(Config(
         workspace=str(ws), stage=1, iters=6, spp=1, pt_bounces=1,
-        use_brdf=True, use_restir=False, stage1_rows=8,
+        use_brdf=True, use_restir=False, stage1_rows=8, ssaa=1,
         lambda_lap=0.0, lambda_normal=0.0, lambda_edgelen=0.0,
         data_parallel=False, ckpt="scratch", n_ckpt=1, n_eval=1,
     ))
