@@ -148,21 +148,35 @@ def _level_lookup(
     pg = pg.astype(jnp.uint32)  # [N,3]
 
     corners = jnp.asarray(_CORNERS, dtype=jnp.uint32)  # [8,3]
-    pgc = pg[:, None, :] + corners[None, :, :]  # [N,8,3]
 
     if dense:
-        stride = resolution + 1
+        # packed-corner fast path: view the level as a 3D grid and stack the
+        # 8 corner neighborhoods channel-wise, so every point needs ONE
+        # wide-row gather instead of eight (gathers are latency-priced per
+        # ROW regardless of width — CLAUDE.md cost model; exact same values)
+        C = embeddings.shape[-1]
+        R1 = resolution + 1
+        lvl = jax.lax.dynamic_slice(embeddings, (offset, 0), (size, C))
+        grid = lvl[: R1 * R1 * R1].reshape(R1, R1, R1, C)
+        res = resolution
+        packed = jnp.concatenate(
+            [
+                grid[cx : cx + res, cy : cy + res, cz : cz + res]
+                for (cx, cy, cz) in _CORNERS
+            ],
+            axis=-1,
+        ).reshape(res * res * res, 8 * C)
+        pgc = jnp.minimum(pg, jnp.uint32(res - 1))
         idx = (
-            pgc[..., 0]
-            + pgc[..., 1] * jnp.uint32(stride)
-            + pgc[..., 2] * jnp.uint32(stride * stride)
-        )
+            pgc[:, 0] + pgc[:, 1] * jnp.uint32(res) + pgc[:, 2] * jnp.uint32(res * res)
+        ).astype(jnp.int32)
+        vals = jnp.take(packed, idx, axis=0).reshape(-1, 8, C)  # [N,8,C]
     else:
+        pgc = pg[:, None, :] + corners[None, :, :]  # [N,8,3]
         primes = jnp.asarray(_PRIMES)
         idx = (pgc[..., 0] * primes[0]) ^ (pgc[..., 1] * primes[1]) ^ (pgc[..., 2] * primes[2])
-    idx = (idx % jnp.uint32(size)).astype(jnp.int32)
-
-    vals = _gather_rows(embeddings, jnp.int32(offset) + idx, offset, size)  # [N,8,C]
+        idx = (idx % jnp.uint32(size)).astype(jnp.int32)
+        vals = _gather_rows(embeddings, jnp.int32(offset) + idx, offset, size)  # [N,8,C]
 
     w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
     w = w[..., 0] * w[..., 1] * w[..., 2]  # [N,8]
