@@ -120,6 +120,10 @@ def chart_atlas(
                 if assigned[g] < 0 and float(fn[g] @ seed_n) > cone:
                     assigned[g] = cid
                     stack.append(g)
+        # faces still on the stack when the cap hits were claimed but never
+        # placed — release them so a later seed charts them
+        for f in stack:
+            assigned[f] = -1
         charts.append((members, seed_n))
 
     # per-chart planar projection
