@@ -173,6 +173,81 @@ def pdf_li(dist: EnvDistribution, dir_world: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(sin_theta) < 1e-4, 0.0, pdf)
 
 
+class AliasTable(NamedTuple):
+    """Vose alias table over envmap texels (reference make_sampleable.slang
+    build_alias_map/buildEnvLightAliasTable/AliasTable, :90-186 — the O(1)
+    sampling variant of the 2D CDF)."""
+
+    q: jnp.ndarray       # [H*W] acceptance probability per slot
+    alias: jnp.ndarray   # [H*W] alias texel per slot
+    pdf: jnp.ndarray     # [H, W] solid-angle pdf per texel
+
+
+def build_alias_table(tex) -> AliasTable:
+    """Host-side O(n) Vose construction (the reference runs the same
+    sequential partition loop in a single CUDA thread, build_alias_map)."""
+    import numpy as np
+
+    t = np.asarray(tex, np.float32)
+    H, W = t.shape[0], t.shape[1]
+    v = (np.arange(H, dtype=np.float32) + 0.5) / H
+    sin_t = np.sin(np.pi * v)[::-1]
+    lum = 0.2126 * t[..., 0] + 0.7152 * t[..., 1] + 0.0722 * t[..., 2]
+    w = (lum * sin_t[:, None] + 1e-10).reshape(-1)
+    p = w / w.sum()
+    n = p.size
+    q = p * n
+    alias = np.arange(n, dtype=np.int64)
+    small = [i for i in range(n) if q[i] < 1.0]
+    large = [i for i in range(n) if q[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        alias[s] = l
+        q[l] = q[l] + q[s] - 1.0
+        (small if q[l] < 1.0 else large).append(l)
+    # solid-angle pdf per texel: p / (texel solid angle)
+    omega = (2 * np.pi / W) * (np.pi / H) * sin_t[:, None]
+    pdf = (p.reshape(H, W) / np.maximum(omega, 1e-12)).astype(np.float32)
+    return AliasTable(
+        q=jnp.asarray(np.clip(q, 0.0, None), jnp.float32),
+        alias=jnp.asarray(alias.astype(np.int32)),
+        pdf=jnp.asarray(pdf),
+    )
+
+
+def sample_li_alias(
+    tex: jnp.ndarray, table: AliasTable, rnd: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """O(1)-per-sample envmap importance sampling through the alias table;
+    same output contract as sample_li (dir_world, Le, pdf_solid_angle)."""
+    H, W = tex.shape[0], tex.shape[1]
+    n = H * W
+    u1, u2 = rnd[..., 0], rnd[..., 1]
+    slot = jnp.clip((u1 * n).astype(jnp.int32), 0, n - 1)
+    frac = u1 * n - slot
+    q = table.q[slot]
+    take_alias = frac >= q
+    texel = jnp.where(take_alias, table.alias[slot], slot)
+    row = texel // W
+    col = texel % W
+    # reuse the leftover uniform mass as the in-texel v jitter
+    leftover = jnp.where(
+        take_alias,
+        (frac - q) / jnp.maximum(1.0 - q, 1e-8),
+        frac / jnp.maximum(q, 1e-8),
+    )
+    u = (col.astype(jnp.float32) + u2) / W
+    v_tex = (row.astype(jnp.float32) + jnp.clip(leftover, 0.0, 1.0 - 1e-6)) / H
+    uv = jnp.stack([u, 1.0 - v_tex], axis=-1)
+    d_remap = uv_to_dir(uv)
+    dir_world = jnp.stack(
+        [-d_remap[..., 0], d_remap[..., 2], d_remap[..., 1]], axis=-1
+    )
+    le = _bilinear(tex, uv)
+    pdf = table.pdf[row, col]
+    return dir_world, le, pdf
+
+
 def generate_image(tex: jnp.ndarray) -> jnp.ndarray:
     """The raw texture is the lat-long image (reference EnvironmentLight
     .generate_image via dr.texture)."""

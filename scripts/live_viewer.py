@@ -1,0 +1,163 @@
+"""Interactive orbit viewer: the TPU-native analog of the reference's
+dearpygui GUI (`nerf/gui.py` + Trainer.test_gui, dormant upstream).
+
+Serves a browser page with mouse-orbit controls; every drag requests
+/render?theta=..&phi=..&radius=.. which renders through the live framework
+(stage-0 volume render from a checkpoint, or stage-1 mesh + ReSTIR/PT) and
+streams a JPEG back.  Runs against the real TPU — first request compiles
+(~1-4 min through the tunnel), subsequent orbits are interactive.
+
+Usage:
+  python scripts/live_viewer.py --workspace ws/ --stage 0 [--port 8000]
+  python scripts/live_viewer.py --workspace ws/ --stage 1 --use_brdf [--spp 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+import threading
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+PAGE = """<!doctype html>
+<html><head><title>mirres-tpu live viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace}
+#v{display:block;margin:12px auto;border:1px solid #333;cursor:grab}
+#s{text-align:center}</style></head><body>
+<div id=s>drag to orbit &middot; wheel to zoom &middot; <span id=t></span></div>
+<img id=v width=__W__ height=__H__>
+<script>
+let th=1.2, ph=0.5, r=2.2, busy=false, dirty=true;
+const img=document.getElementById('v'), lab=document.getElementById('t');
+function tick(){
+  if(!busy && dirty){
+    busy=true; dirty=false;
+    const t0=performance.now();
+    const u=`/render?theta=${th.toFixed(3)}&phi=${ph.toFixed(3)}&radius=${r.toFixed(3)}&_=${Math.random()}`;
+    const i=new Image();
+    i.onload=()=>{img.src=i.src;lab.textContent=`${(performance.now()-t0).toFixed(0)} ms`;busy=false;};
+    i.onerror=()=>{busy=false;};
+    i.src=u;
+  }
+  requestAnimationFrame(tick);
+}
+let drag=false,lx=0,ly=0;
+img.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return; ph+=(e.clientX-lx)*0.01; th-=(e.clientY-ly)*0.01;
+  th=Math.max(0.1,Math.min(3.0,th)); lx=e.clientX; ly=e.clientY; dirty=true;};
+img.onwheel=e=>{e.preventDefault(); r*=Math.exp(e.deltaY*0.001); r=Math.max(0.5,Math.min(6,r)); dirty=true;};
+tick();
+</script></body></html>"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workspace", required=True)
+    ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--use_brdf", action="store_true")
+    ap.add_argument("--use_restir", action="store_true")
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--bound", type=float, default=1.0)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--fp16", action="store_true")
+    ap.add_argument("--hash_levels", type=int, default=16)
+    ap.add_argument("--hash_log2_size", type=int, default=19)
+    ap.add_argument("--hash_max_res", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mirres_restir_nerf_mesh_tpu.config import Config, finalize
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset, orbit_pose
+    from mirres_restir_nerf_mesh_tpu.data.rays import get_rays
+    from mirres_restir_nerf_mesh_tpu.train.trainer import Trainer
+
+    H = W = args.size
+    fx = 0.8 * W
+    intr = jnp.asarray([fx, fx, W / 2.0, H / 2.0], jnp.float32)
+
+    cfg = finalize(
+        Config(
+            workspace=args.workspace, stage=args.stage, bound=args.bound,
+            use_brdf=args.use_brdf, use_restir=args.use_restir, spp=args.spp,
+            ssaa=1, data_parallel=False, fp16=args.fp16,
+            hash_levels=args.hash_levels, hash_log2_size=args.hash_log2_size,
+            hash_max_res=args.hash_max_res,
+        )
+    )
+    # trainer only needs a dataset shell for shapes
+    data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=args.bound)
+    trainer = Trainer("ngp", cfg, data)
+    lock = threading.Lock()
+
+    def render(theta: float, phi: float, radius: float) -> np.ndarray:
+        pose = jnp.asarray(orbit_pose(theta, phi, radius=radius))
+        rays = get_rays(pose[None], intr, H, W)
+        with lock:
+            if args.stage == 0:
+                from mirres_restir_nerf_mesh_tpu.train import stage0
+
+                img, _ = stage0.render_frame(
+                    trainer.state, trainer.render_fn, rays["rays_o"], rays["rays_d"], H, W
+                )
+            else:
+                from mirres_restir_nerf_mesh_tpu.render.stage1 import render_stage1
+
+                out = render_stage1(
+                    trainer.state.params, trainer.static,
+                    jnp.asarray(trainer.base_verts),
+                    rays["rays_o"], rays["rays_d"], jax.random.PRNGKey(0),
+                )
+                key = "image_brdf" if args.use_brdf else "image"
+                img = np.asarray(out[key]).reshape(H, W, 3)
+        return np.clip(np.asarray(img, np.float32), 0, 1)
+
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/":
+                body = PAGE.replace("__W__", str(W)).replace("__H__", str(H)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path == "/render":
+                q = parse_qs(u.query)
+                img = render(
+                    float(q.get("theta", [1.2])[0]),
+                    float(q.get("phi", [0.5])[0]),
+                    float(q.get("radius", [2.2])[0]),
+                )
+                buf = io.BytesIO()
+                Image.fromarray((img * 255).astype(np.uint8)).save(buf, "JPEG", quality=90)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.end_headers()
+                self.wfile.write(buf.getvalue())
+                return
+            self.send_response(404)
+            self.end_headers()
+
+    print(f"[viewer] http://localhost:{args.port}  (first render compiles; be patient)")
+    ThreadingHTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
