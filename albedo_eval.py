@@ -75,6 +75,7 @@ def main() -> None:
     ap.add_argument("--mask_dir", default=None)
     ap.add_argument("--pred_glob", default="*kd*")
     ap.add_argument("--gt_glob", default="*albedo*")
+    ap.add_argument("--out", default=None, help="also write the aggregate JSON here")
     args = ap.parse_args()
 
     preds = sorted(
@@ -109,6 +110,9 @@ def main() -> None:
     if "lpips" in results[0]:
         agg["lpips"] = float(np.mean([r["lpips"] for r in results]))
     print(json.dumps({"albedo_eval": agg}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(agg, f)
 
 
 if __name__ == "__main__":

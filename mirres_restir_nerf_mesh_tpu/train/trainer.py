@@ -402,11 +402,23 @@ class Trainer:
             static = dataclasses.replace(
                 static, H=sampler.H * ssaa
             )  # eval renders full frames even when training is row-banded
-        out = render_stage1(
-            self.state.params, static, jnp.asarray(self.base_verts),
+        # jit once per (static identity, relight-mode) — eager dispatch of
+        # the full stage-1 graph costs minutes (static holds arrays, so key
+        # by identity, not equality)
+        cache_key = (id(self.static), static.H, relight_env is not None,
+                     albedo_scale is not None, exposure is not None)
+        if getattr(self, "_eval_render_key", None) != cache_key:
+            self._eval_render_key = cache_key
+            self._eval_render_fn = jax.jit(
+                lambda params, bv, ro, rd, k, renv, ascale, esc: render_stage1(
+                    params, static, bv, ro, rd, k,
+                    relight_env=renv, albedo_scale=ascale, exposure_scale=esc,
+                )
+            )
+        out = self._eval_render_fn(
+            self.state.params, jnp.asarray(self.base_verts),
             f["rays_o"], f["rays_d"], self._next_key(),
-            relight_env=relight_env, albedo_scale=albedo_scale,
-            exposure_scale=exposure,
+            relight_env, albedo_scale, exposure,
         )
         ds = lambda k: self._downsample(np.asarray(out[k]), H, W, ssaa)  # noqa: E731
         outs = {"image": np.clip(ds("image"), 0, 1), "depth": ds("depth")}

@@ -43,7 +43,11 @@ def test_stage0_training_improves_psnr(tiny_cfg):
     cfg = tiny_cfg
     data = make_synthetic_dataset(n_frames=12, H=48, W=48, bound=cfg.bound)
     sampler = RayDataset(data, bound=cfg.bound)
-    spec = NeRFSpec(bound=cfg.bound)
+    # small field: this test checks learning dynamics, and the full-size
+    # 16L/2^19 spec costs ~1 min of XLA CPU compile alone
+    spec = NeRFSpec(bound=cfg.bound, hidden_dim=32, hidden_dim_color=32,
+                    grid_levels=8, grid_log2_hashmap_size=15,
+                    grid_desired_resolution=128)
 
     key = jax.random.PRNGKey(0)
     state = stage0.init_state(key, cfg, spec)

@@ -58,7 +58,7 @@ def test_stage1_row_band_training(tmp_path):
     d0 = np.asarray(tr._stage1_batch(0)["rays_d"])
     d1 = np.asarray(tr._stage1_batch(2)["rays_d"])
     assert not np.allclose(d0, d1)
-    tr.train(max_steps=4)
+    tr.train(max_steps=2)
     # eval still renders FULL frames
     ev = tr.evaluate(max_frames=1)
     assert np.isfinite(ev["psnr"])
