@@ -25,7 +25,7 @@ from .bvh import HitResult
 class Tracer:
     def __init__(self, accel, kind: str, max_candidates: int = 10,
                  dense_threshold: int = 8192, k_cap: int = 128,
-                 k_cap_incoherent: int = 384, tile: int = 512):
+                 k_cap_incoherent: int = 512, tile: int = 512):
         self.accel = accel
         self.kind = kind
         self.max_candidates = max_candidates
@@ -83,7 +83,7 @@ def default_kind() -> str:
 def build_tracer(verts: jnp.ndarray, tris: jnp.ndarray, kind: str = "auto",
                  cluster_size: int = 128, max_candidates: int = 10,
                  dense_threshold: int = 8192, k_cap: int = 128,
-                 k_cap_incoherent: int = 384, tile: int = 512) -> Tracer:
+                 k_cap_incoherent: int = 512, tile: int = 512) -> Tracer:
     if kind == "auto":
         kind = default_kind()
     if kind in ("cluster", "tile"):

@@ -76,7 +76,9 @@ class Stage1Static:
     max_candidates: int = 10     # cluster-AABB candidates tested per ray
     dense_threshold: int = 8192  # <=: single dense pass over all triangles
     k_cap: int = 128             # tile tracer: candidate clusters per ray tile
-    k_cap_incoherent: int = 384  # tile tracer: budget for bounce-ray batches
+    k_cap_incoherent: int = 512  # tile tracer: budget for bounce-ray batches
+                                 # (hit-mask error vs exact on the worst-case
+                                 # bench scene: 0.6% at 512, 4.4% at 384)
     ray_tile: int = 512          # tile tracer: rays per tile
 
     # supersampling factor baked into H/W (H,W here are ALREADY multiplied
