@@ -159,22 +159,28 @@ def _kernel(cand_ref, octs_ref, counts_ref, geom_ref, rays_ref, out_ref, *,
                 & (th > t_min) & (th < tmax[None, :]) & (prim >= 0)
                 & useful[None, :]
             )
-            th = jnp.where(ok, th, BIG)                      # [S, R]
 
-            slot = jnp.argmin(th, axis=0)                    # [R]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
-            sel = rows == slot[None, :]
-            t_best = jnp.min(th, axis=0)
-            u_best = jnp.max(jnp.where(sel, u, -BIG), axis=0)
-            v_best = jnp.max(jnp.where(sel, v, -BIG), axis=0)
+            if any_hit:
+                # occlusion only needs the boolean: skip the closest-hit
+                # argmin/u/v bookkeeping (~25% of the step's vector ops)
+                found_now = jnp.any(ok, axis=0)              # [R]
+                out_ref[0, 0, :] = jnp.where(found_now, 0.0, best)
+            else:
+                th = jnp.where(ok, th, BIG)                  # [S, R]
+                slot = jnp.argmin(th, axis=0)                # [R]
+                rows = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
+                sel = rows == slot[None, :]
+                t_best = jnp.min(th, axis=0)
+                u_best = jnp.max(jnp.where(sel, u, -BIG), axis=0)
+                v_best = jnp.max(jnp.where(sel, v, -BIG), axis=0)
 
-            better = t_best < best
-            cid = cand_ref[ti, k]
-            lin = (cid * S + slot).astype(jnp.float32)
-            out_ref[0, 0, :] = jnp.where(better, t_best, best)
-            out_ref[0, 1, :] = jnp.where(better, lin, out_ref[0, 1, :])
-            out_ref[0, 2, :] = jnp.where(better, u_best, out_ref[0, 2, :])
-            out_ref[0, 3, :] = jnp.where(better, v_best, out_ref[0, 3, :])
+                better = t_best < best
+                cid = cand_ref[ti, k]
+                lin = (cid * S + slot).astype(jnp.float32)
+                out_ref[0, 0, :] = jnp.where(better, t_best, best)
+                out_ref[0, 1, :] = jnp.where(better, lin, out_ref[0, 1, :])
+                out_ref[0, 2, :] = jnp.where(better, u_best, out_ref[0, 2, :])
+                out_ref[0, 3, :] = jnp.where(better, v_best, out_ref[0, 3, :])
 
 
 def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int):
@@ -360,20 +366,30 @@ def tile_trace(
         out = jnp.concatenate(outs, axis=0)
 
     best_t = out[:, 0, :].reshape(Np)[:N]
-    best_lin = out[:, 1, :].reshape(Np)[:N].astype(jnp.int32)
-    u = out[:, 2, :].reshape(Np)[:N]
-    v = out[:, 3, :].reshape(Np)[:N]
-
     found = best_t < BIG * 0.5
-    best_t = jnp.where(found, best_t, jnp.inf)
-    best_t = jnp.where(best_t <= t_max_arr, best_t, jnp.inf)
-    best_lin = jnp.clip(best_lin, 0, cm.soa.shape[1] - 1)
-    hit = _finish(cm, best_lin, best_t, u, v, t_max_arr)
+
+    if any_hit:
+        # occlusion contract: only prim >= 0 matters; no attribute resolve
+        hit = HitResult(
+            t=jnp.where(found, best_t, jnp.inf),
+            prim=jnp.where(found, 0, -1),
+            u=jnp.zeros((N,)),
+            v=jnp.zeros((N,)),
+            normal=jnp.zeros((N, 3)),
+        )
+    else:
+        best_lin = out[:, 1, :].reshape(Np)[:N].astype(jnp.int32)
+        u = out[:, 2, :].reshape(Np)[:N]
+        v = out[:, 3, :].reshape(Np)[:N]
+        best_t = jnp.where(found, best_t, jnp.inf)
+        best_t = jnp.where(best_t <= t_max_arr, best_t, jnp.inf)
+        best_lin = jnp.clip(best_lin, 0, cm.soa.shape[1] - 1)
+        hit = _finish(cm, best_lin, best_t, u, v, t_max_arr)
 
     per_ray_dropped = jnp.repeat(dropped, R)[:N]
     uncertain = jnp.where(
         jnp.isfinite(per_ray_dropped),
-        jnp.where(jnp.isfinite(best_t), best_t, jnp.minimum(t_max_arr, BIG))
+        jnp.where(jnp.isfinite(hit.t), hit.t, jnp.minimum(t_max_arr, BIG))
         > per_ray_dropped,
         False,
     )
