@@ -1,9 +1,11 @@
 """Standalone tracer micro-benchmark on TPU: tile vs cluster backends.
 
 Usage: python scripts/bench_tracer.py [n_tris] [n_rays]
-Times closest-hit on coherent camera rays and any-hit on incoherent shadow
-rays, per backend, via scalar-fetch (block_until_ready does not block
-through the axon tunnel).
+
+Methodology (CLAUDE.md cost model): the axon tunnel costs ~29 ms per scalar
+fetch and ~21 ms per dispatch, so each timing runs ITERS trace calls inside
+one jitted lax.fori_loop (inputs varied per iteration) with a single scalar
+fetch at the end.
 """
 
 import sys
@@ -13,12 +15,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+ITERS = 20
+
 
 def main():
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 65_536
 
     from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
+    from mirres_restir_nerf_mesh_tpu.ops import bvh as lbvh_mod
     from mirres_restir_nerf_mesh_tpu.ops import cluster_bvh, tile_tracer
 
     n = 96
@@ -46,73 +51,69 @@ def main():
     rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
     N = rays_o.shape[0]
 
-    # incoherent shadow rays: origins = jittered sphere surface, random dirs
+    # pipeline-like shadow rays: origins sweep the surface in pixel order
+    # (spatially coherent, like a G-buffer), directions uniform over the
+    # sphere (the early-training worst case for direction coherence)
     rng = np.random.RandomState(0)
-    so = rng.normal(size=(N, 3)).astype(np.float32)
-    so = so / np.linalg.norm(so, axis=1, keepdims=True) * 0.8
+    base = np.linspace(-0.7, 0.7, N).astype(np.float32)
+    so = np.stack([base, 0.5 * np.sin(base * 9), 0.5 * np.cos(base * 7)], 1)
     sd = rng.normal(size=(N, 3)).astype(np.float32)
     sd /= np.linalg.norm(sd, axis=1, keepdims=True)
     sh_o, sh_d = jnp.asarray(so), jnp.asarray(sd)
 
-    def timeit(fn, *args, iters=10):
-        f = jax.jit(fn)
-        v = float(f(*args))  # compile + settle
+    def bench(name, per_iter_sum, ro, rd):
+        @jax.jit
+        def run(ro, rd):
+            def body(i, acc):
+                return acc + per_iter_sum(ro + 1e-6 * i, rd)
+            return jax.lax.fori_loop(0, ITERS, body, 0.0)
+
+        v = float(run(ro, rd))  # compile + settle
         t0 = time.perf_counter()
-        for _ in range(iters):
-            v = float(f(*args))
-        dt = (time.perf_counter() - t0) / iters
-        return dt, v
+        v = float(run(ro, rd))
+        dt = (time.perf_counter() - t0 - 0.029) / ITERS
+        print(f"{name:44s} {dt*1e3:8.2f} ms  {N/dt/1e6:8.2f} Mrays/s  (chk {v:.0f})")
 
-    def run(name, fn, *args):
-        dt, v = timeit(fn, *args)
-        print(f"{name:36s} {dt*1e3:8.2f} ms  {N/dt/1e6:8.2f} Mrays/s  (chk {v:.1f})")
+    def closest_sum(fn):
+        def f(ro, rd):
+            t = fn(ro, rd)
+            return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+        return f
 
-    for k_cap in (64, 128, 192):
-        kc = min(k_cap, C)
-        run(
-            f"tile closest coherent k={kc}",
-            lambda ro, rd, kc=kc: jnp.sum(
-                jnp.where(jnp.isfinite(t := tile_tracer.tile_trace(cm, ro, rd, k_cap=kc).hit.t), t, 0.0)
-            ),
+    for kc in (64, 128):
+        bench(
+            f"tile closest coherent k={min(kc, C)}",
+            closest_sum(lambda ro, rd, kc=min(kc, C): tile_tracer.tile_trace(
+                cm, ro, rd, k_cap=kc).hit.t),
             rays_o, rays_d,
         )
-    run(
-        "tile anyhit shadow k=128",
-        lambda ro, rd: jnp.sum(
-            tile_tracer.occluded_tiles(cm, ro, rd, 1e9, k_cap=min(128, C), dense_threshold=1).astype(jnp.float32)
-        ),
+    bench(
+        "tile closest shadow k=512 sorted",
+        closest_sum(lambda ro, rd: tile_tracer.tile_trace(
+            cm, ro, rd, k_cap=min(512, C), sort_octants=True).hit.t),
         sh_o, sh_d,
     )
-    run(
-        "tile closest shadow k=128",
-        lambda ro, rd: jnp.sum(
-            jnp.where(jnp.isfinite(t := tile_tracer.tile_trace(cm, ro, rd, k_cap=min(128, C)).hit.t), t, 0.0)
-        ),
+    bench(
+        "tile anyhit shadow k=512 sorted",
+        lambda ro, rd: jnp.sum(tile_tracer.occluded_tiles(
+            cm, ro, rd, 1e9, k_cap=min(512, C), sort_octants=True,
+            dense_threshold=1).astype(jnp.float32)),
         sh_o, sh_d,
     )
-
-    run(
+    bench(
         "cluster closest coherent K=10",
-        lambda ro, rd: jnp.sum(
-            jnp.where(
-                jnp.isfinite(t := cluster_bvh.intersect_clusters(cm, ro, rd, dense_threshold=1).t), t, 0.0
-            )
-        ),
+        closest_sum(lambda ro, rd: cluster_bvh.intersect_clusters(
+            cm, ro, rd, dense_threshold=1).t),
         rays_o, rays_d,
     )
-    run(
-        "cluster anyhit shadow K=10",
-        lambda ro, rd: jnp.sum(
-            cluster_bvh.occluded_clusters(cm, ro, rd, 1e9, dense_threshold=1).astype(jnp.float32)
-        ),
-        sh_o, sh_d,
-    )
 
-    # uncertainty telemetry at the tile default
+    # exactness telemetry at the defaults
     outc = tile_tracer.tile_trace(cm, rays_o, rays_d, k_cap=min(128, C))
-    outs = tile_tracer.tile_trace(cm, sh_o, sh_d, k_cap=min(128, C))
+    outs = tile_tracer.tile_trace(
+        cm, sh_o, sh_d, k_cap=min(512, C), sort_octants=True
+    )
     print(
-        f"uncertain: coherent {int(jnp.sum(outc.uncertain))}/{N}, "
+        f"uncertain telemetry: coherent {int(jnp.sum(outc.uncertain))}/{N}, "
         f"shadow {int(jnp.sum(outs.uncertain))}/{N}"
     )
 
