@@ -1,11 +1,16 @@
 """Monocular depth extraction for dense-depth supervision.
 
-Counterpart of the reference `depth_tools/extract_depth.py` (omnidata DPT).
-The omnidata weights/timm stack is not bundled; this tool supports:
-  1. any torch depth model via --model_path (a TorchScript module mapping
-     [1,3,H,W] -> [1,1,H,W]), or
-  2. precomputed per-image .npy depth maps copied into <data>/depths/
-     (the colmap provider consumes <name>.npy at training time).
+Counterpart of the reference `depth_tools/extract_depth.py` (omnidata DPT,
+reference lines 16-83): resize to 384x384, normalize mean/std 0.5, run the
+depth net, bicubic-resize back to the source resolution, save <name>.npy
+(the colmap provider consumes <data>/depths/<name>.npy at training time).
+
+The omnidata weights/timm stack cannot be downloaded in this environment;
+the depth net is therefore pluggable:
+  1. --model_path <m.pt>: any TorchScript module mapping the normalized
+     [1,3,384,384] input to [1,384,384] (or [1,1,384,384]) depth — e.g. an
+     exported omnidata DPT (see scripts/export_dpt_torchscript.py), or
+  2. precomputed per-image .npy depth maps copied into <data>/depths/.
 
 Usage: python depth_tools/extract_depth.py <image_dir> [--model_path m.pt]
 """
@@ -17,6 +22,26 @@ import glob
 import os
 
 import numpy as np
+
+IMAGE_SIZE = 384
+
+
+def run_model(model, img: np.ndarray):
+    """img [H,W,3] float in [0,1] -> depth [H,W] float (reference protocol:
+    384^2 resize, (x-0.5)/0.5 normalize, bicubic resize back)."""
+    import torch
+    import torch.nn.functional as F
+
+    H, W = img.shape[:2]
+    x = torch.from_numpy(img).permute(2, 0, 1)[None].float()
+    x = F.interpolate(x, size=(IMAGE_SIZE, IMAGE_SIZE), mode="bilinear", align_corners=False)
+    x = (x - 0.5) / 0.5
+    with torch.no_grad():
+        d = model(x)
+    if d.ndim == 3:
+        d = d.unsqueeze(1)  # [1,1,h,w]
+    d = F.interpolate(d, size=(H, W), mode="bicubic", align_corners=False)
+    return d.squeeze().cpu().numpy()
 
 
 def main() -> None:
@@ -34,8 +59,8 @@ def main() -> None:
     if args.model_path is None:
         raise SystemExit(
             "No depth model given. Provide --model_path <torchscript.pt> "
-            "(e.g. an exported omnidata DPT), or place precomputed .npy depth "
-            f"maps directly into {out}/."
+            "(e.g. an exported omnidata DPT: scripts/export_dpt_torchscript.py), "
+            f"or place precomputed .npy depth maps directly into {out}/."
         )
 
     import torch
@@ -44,9 +69,7 @@ def main() -> None:
     model = torch.jit.load(args.model_path).eval()
     for f in files:
         img = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
-        x = torch.from_numpy(img).permute(2, 0, 1)[None]
-        with torch.no_grad():
-            d = model(x)[0, 0].numpy()
+        d = run_model(model, img)
         np.save(os.path.join(out, os.path.splitext(os.path.basename(f))[0] + ".npy"), d)
         print(f, "->", d.shape)
 

@@ -135,6 +135,12 @@ class Config:
     lambda_chroma: float = 0.0
     lambda_net_specular: float = 0.09
     spp: int = 32
+    # test()/NVS-eval spp override (reference evaluates converged NVS at 512
+    # spp and relighting at 128 spp via separate --test --spp invocations,
+    # readme.md:93,111); 0 = use --spp.  Applied only in test-mode renders —
+    # mid-training eval keeps the train spp.
+    eval_spp: int = 512
+    relight_spp: int = 128
     roughness_min: float = 0.08
     me_max: float = 0.0
     env_h: int = 256

@@ -149,13 +149,15 @@ def _level_lookup(
 
     corners = jnp.asarray(_CORNERS, dtype=jnp.uint32)  # [8,3]
 
-    if dense:
+    R1 = resolution + 1
+    if dense and size >= R1 * R1 * R1:
         # packed-corner fast path: view the level as a 3D grid and stack the
         # 8 corner neighborhoods channel-wise, so every point needs ONE
         # wide-row gather instead of eight (gathers are latency-priced per
-        # ROW regardless of width — CLAUDE.md cost model; exact same values)
+        # ROW regardless of width — CLAUDE.md cost model; exact same values).
+        # Guarded: a tiled level that overflows max_params is marked dense but
+        # holds < R1^3 rows — it takes the modular-index path below.
         C = embeddings.shape[-1]
-        R1 = resolution + 1
         lvl = jax.lax.dynamic_slice(embeddings, (offset, 0), (size, C))
         grid = lvl[: R1 * R1 * R1].reshape(R1, R1, R1, C)
         res = resolution
@@ -173,8 +175,17 @@ def _level_lookup(
         vals = jnp.take(packed, idx, axis=0).reshape(-1, 8, C)  # [N,8,C]
     else:
         pgc = pg[:, None, :] + corners[None, :, :]  # [N,8,3]
-        primes = jnp.asarray(_PRIMES)
-        idx = (pgc[..., 0] * primes[0]) ^ (pgc[..., 1] * primes[1]) ^ (pgc[..., 2] * primes[2])
+        if dense:
+            # tiled level overflowing max_params: linear index wraps mod size
+            # (reference gridencoder.cu tiled-grid semantics)
+            idx = (
+                pgc[..., 0]
+                + pgc[..., 1] * jnp.uint32(R1)
+                + pgc[..., 2] * jnp.uint32(R1 * R1)
+            )
+        else:
+            primes = jnp.asarray(_PRIMES)
+            idx = (pgc[..., 0] * primes[0]) ^ (pgc[..., 1] * primes[1]) ^ (pgc[..., 2] * primes[2])
         idx = (idx % jnp.uint32(size)).astype(jnp.int32)
         vals = _gather_rows(embeddings, jnp.int32(offset) + idx, offset, size)  # [N,8,C]
 

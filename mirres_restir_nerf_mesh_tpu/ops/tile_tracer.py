@@ -41,7 +41,7 @@ reference trusts its fixed 64-deep traversal stack
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +67,10 @@ def _kernel(cand_ref, octs_ref, counts_ref, geom_ref, rays_ref, out_ref, *,
     @pl.when(k == 0)
     def _init():
         out_ref[0, 0, :] = jnp.full((R,), BIG, jnp.float32)   # best_t
-        out_ref[0, 1, :] = jnp.zeros((R,), jnp.float32)       # best lin slot
+        out_ref[0, 1, :] = jnp.zeros((R,), jnp.float32)       # best slot in cluster
         out_ref[0, 2, :] = jnp.zeros((R,), jnp.float32)       # u
         out_ref[0, 3, :] = jnp.zeros((R,), jnp.float32)       # v
+        out_ref[0, 4, :] = jnp.zeros((R,), jnp.float32)       # best cluster id
 
     @pl.when(k < counts_ref[ti])
     def _body():
@@ -175,12 +176,15 @@ def _kernel(cand_ref, octs_ref, counts_ref, geom_ref, rays_ref, out_ref, *,
                 v_best = jnp.max(jnp.where(sel, v, -BIG), axis=0)
 
                 better = t_best < best
-                cid = cand_ref[ti, k]
-                lin = (cid * S + slot).astype(jnp.float32)
+                # cid and slot travel in SEPARATE f32 rows (each well under
+                # the 2^24 f32-exact range); the caller combines them in
+                # int32 — no silent corruption past 16.7M padded triangles.
+                cid = cand_ref[ti, k].astype(jnp.float32)
                 out_ref[0, 0, :] = jnp.where(better, t_best, best)
-                out_ref[0, 1, :] = jnp.where(better, lin, out_ref[0, 1, :])
+                out_ref[0, 1, :] = jnp.where(better, slot.astype(jnp.float32), out_ref[0, 1, :])
                 out_ref[0, 2, :] = jnp.where(better, u_best, out_ref[0, 2, :])
                 out_ref[0, 3, :] = jnp.where(better, v_best, out_ref[0, 3, :])
+                out_ref[0, 4, :] = jnp.where(better, cid, out_ref[0, 4, :])
 
 
 def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int):
@@ -292,11 +296,17 @@ def tile_trace(
 ) -> TileTraceOut:
     """Trace via tile-coherent candidate streaming.  Requires S % 128 == 0.
 
-    sort_octants: block-local direction-octant reorder before tiling
-    (~1 ms for 655k rays via lax.sort_key_val + one wide-row gather) — a
-    ~2.7x win for direction-incoherent batches (bounce rays, early-training
-    shadow rays) because each tile's candidate union collapses to one
-    octant's frustum.  Results are unpermuted before returning."""
+    sort_octants: reorder rays before tiling so each tile's candidate union
+    shrinks (~1 ms for 655k rays via lax.sort_key_val + one wide-row gather).
+    Results are unpermuted before returning.
+      True / "block": block-local direction-octant sort (preserves the ray
+        stream's own origin locality within sort_block-ray blocks) — ~2.7x
+        for direction-incoherent batches.
+      "morton": GLOBAL (octant, origin-morton-cell) key — direction-major,
+        origin-minor.  For batches whose origins are scattered (bounce-hit
+        NEE shadows, cross-visibility rays) this gives every tile a single
+        octant AND a compact origin box, so the conservative frustum test
+        admits far fewer clusters."""
     N = rays_o.shape[0]
     C, S = cm.prim.shape
     R = tile
@@ -309,8 +319,20 @@ def tile_trace(
             + 2 * (rays_d[:, 1] > 0).astype(jnp.int32)
             + 4 * (rays_d[:, 2] > 0).astype(jnp.int32)
         )
-        blk = jnp.arange(N, dtype=jnp.int32) // sort_block
-        _, perm = jax.lax.sort_key_val(blk * 8 + oct_id, jnp.arange(N, dtype=jnp.int32))
+        if sort_octants == "morton":
+            from .morton import morton3d
+
+            lo = jnp.min(cm.aabb_min, axis=0)
+            hi = jnp.max(cm.aabb_max, axis=0)
+            cell = jnp.clip(
+                ((rays_o - lo) / jnp.maximum(hi - lo, 1e-6) * 32.0).astype(jnp.int32),
+                0, 31,
+            )
+            key = oct_id * (1 << 15) + morton3d(cell).astype(jnp.int32)
+        else:
+            blk = jnp.arange(N, dtype=jnp.int32) // sort_block
+            key = blk * 8 + oct_id
+        _, perm = jax.lax.sort_key_val(key, jnp.arange(N, dtype=jnp.int32))
         rays_o = rays_o[perm]
         rays_d = rays_d[perm]
         t_max_arr = t_max_arr[perm]
@@ -378,7 +400,9 @@ def tile_trace(
             normal=jnp.zeros((N, 3)),
         )
     else:
-        best_lin = out[:, 1, :].reshape(Np)[:N].astype(jnp.int32)
+        best_slot = out[:, 1, :].reshape(Np)[:N].astype(jnp.int32)
+        best_cid = out[:, 4, :].reshape(Np)[:N].astype(jnp.int32)
+        best_lin = best_cid * S + best_slot
         u = out[:, 2, :].reshape(Np)[:N]
         v = out[:, 3, :].reshape(Np)[:N]
         best_t = jnp.where(found, best_t, jnp.inf)
@@ -411,6 +435,32 @@ def tile_trace(
     return TileTraceOut(hit=hit, uncertain=uncertain)
 
 
+def intersect_tiles_t(
+    cm: ClusterMesh,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_min: float = 1e-4,
+    t_max=1e10,
+    any_hit: bool = False,
+    k_cap: int = 128,
+    tile: int = R_TILE,
+    dense_threshold: int = 8192,
+    sort_octants: bool = False,
+) -> TileTraceOut:
+    """TileTraceOut-contract wrapper with exactness telemetry: dense pass for
+    small meshes (exact -> uncertain all-False), tile trace otherwise."""
+    N = rays_o.shape[0]
+    C, S = cm.prim.shape
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    if C * S <= dense_threshold or C == 1 or S % 128 != 0:
+        hit = _intersect_dense(cm, rays_o, rays_d, t_min, t_max_arr)
+        return TileTraceOut(hit=hit, uncertain=jnp.zeros((N,), bool))
+    return tile_trace(
+        cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=any_hit,
+        k_cap=k_cap, tile=tile, sort_octants=sort_octants,
+    )
+
+
 def intersect_tiles(
     cm: ClusterMesh,
     rays_o: jnp.ndarray,
@@ -425,15 +475,30 @@ def intersect_tiles(
 ) -> HitResult:
     """HitResult-contract wrapper: dense pass for small meshes, tile trace
     otherwise (same dispatch shape as cluster_bvh.intersect_clusters)."""
-    N = rays_o.shape[0]
-    C, S = cm.prim.shape
-    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
-    if C * S <= dense_threshold or C == 1 or S % 128 != 0:
-        return _intersect_dense(cm, rays_o, rays_d, t_min, t_max_arr)
-    return tile_trace(
+    return intersect_tiles_t(
         cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=any_hit,
-        k_cap=k_cap, tile=tile, sort_octants=sort_octants,
+        k_cap=k_cap, tile=tile, dense_threshold=dense_threshold,
+        sort_octants=sort_octants,
     ).hit
+
+
+def occluded_tiles_t(
+    cm: ClusterMesh,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_max,
+    t_min: float = 1e-4,
+    k_cap: int = 128,
+    tile: int = R_TILE,
+    dense_threshold: int = 8192,
+    sort_octants: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    res = intersect_tiles_t(
+        cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=True,
+        k_cap=k_cap, tile=tile, dense_threshold=dense_threshold,
+        sort_octants=sort_octants,
+    )
+    return res.hit.prim >= 0, res.uncertain
 
 
 def occluded_tiles(
@@ -447,9 +512,7 @@ def occluded_tiles(
     dense_threshold: int = 8192,
     sort_octants: bool = False,
 ) -> jnp.ndarray:
-    res = intersect_tiles(
-        cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=True,
-        k_cap=k_cap, tile=tile, dense_threshold=dense_threshold,
-        sort_octants=sort_octants,
-    )
-    return res.prim >= 0
+    return occluded_tiles_t(
+        cm, rays_o, rays_d, t_max, t_min=t_min, k_cap=k_cap, tile=tile,
+        dense_threshold=dense_threshold, sort_octants=sort_octants,
+    )[0]

@@ -25,7 +25,7 @@ from .bvh import HitResult
 class Tracer:
     def __init__(self, accel, kind: str, max_candidates: int = 10,
                  dense_threshold: int = 8192, k_cap: int = 128,
-                 k_cap_incoherent: int = 512, tile: int = 512):
+                 k_cap_incoherent: int = 512, tile: int = 512, mesh=None):
         self.accel = accel
         self.kind = kind
         self.max_candidates = max_candidates
@@ -35,18 +35,64 @@ class Tracer:
         # whose directions span the sphere overlaps many more clusters
         self.k_cap_incoherent = k_cap_incoherent
         self.tile = tile
+        # jax.sharding.Mesh for data-parallel tracing: the Pallas tile kernel
+        # is a custom call GSPMD cannot partition, so under a device mesh every
+        # trace is wrapped in shard_map — geometry replicated, rays sharded on
+        # the 'data' axis, each chip traces only its shard (no collectives;
+        # the reference's DDP wraps the whole model, nerf/utils.py:761-764)
+        self.mesh = mesh
+        # exactness telemetry: traced per-call counts of rays whose result may
+        # lie in a budget-dropped candidate cluster (tile backend only).
+        # Renderers pop_telemetry() and surface the total as a metric.
+        self.telemetry = []
+
+    def pop_telemetry(self) -> jnp.ndarray:
+        """Sum (and clear) uncertain-ray counts recorded since the last pop.
+        Call within the SAME trace scope as the recording trace calls (the
+        values are JAX tracers)."""
+        vals, self.telemetry = self.telemetry, []
+        total = jnp.zeros((), jnp.float32)
+        for v in vals:
+            total = total + v
+        return total
+
+    def _shmap(self, fn, rays_o, rays_d, t_max):
+        """Run fn(accel, rays...) per device shard: accel replicated (P()),
+        rays sharded on 'data'.  accel is passed as an explicit argument —
+        shard_map forbids closing over traced arrays."""
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        t_max_arr = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32), (rays_o.shape[0],)
+        )
+        return _jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,  # pallas_call outputs carry no vma annotation
+        )(self.accel, rays_o, rays_d, t_max_arr)
 
     def intersect(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray, t_min: float = 1e-4,
                   t_max=1e10, incoherent: bool = False) -> HitResult:
         if self.kind == "tile":
             from . import tile_tracer
 
-            return tile_tracer.intersect_tiles(
-                self.accel, rays_o, rays_d, t_min=t_min, t_max=t_max,
-                k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
-                tile=self.tile, dense_threshold=self.dense_threshold,
-                sort_octants=incoherent,
-            )
+            def run(cm, ro, rd, tm):
+                return tile_tracer.intersect_tiles_t(
+                    cm, ro, rd, t_min=t_min, t_max=tm,
+                    k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
+                    tile=self.tile, dense_threshold=self.dense_threshold,
+                    sort_octants=incoherent,
+                )
+
+            if self.mesh is not None:
+                out = self._shmap(run, rays_o, rays_d, t_max)
+            else:
+                t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (rays_o.shape[0],))
+                out = run(self.accel, rays_o, rays_d, t_max_arr)
+            self.telemetry.append(jnp.sum(out.uncertain.astype(jnp.float32)))
+            return out.hit
         if self.kind == "cluster":
             return cluster_mod.intersect_clusters(
                 self.accel, rays_o, rays_d, t_min=t_min, t_max=t_max,
@@ -60,12 +106,21 @@ class Tracer:
         if self.kind == "tile":
             from . import tile_tracer
 
-            return tile_tracer.occluded_tiles(
-                self.accel, rays_o, rays_d, t_max, t_min=t_min,
-                k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
-                tile=self.tile, dense_threshold=self.dense_threshold,
-                sort_octants=incoherent,
-            )
+            def run(cm, ro, rd, tm):
+                return tile_tracer.occluded_tiles_t(
+                    cm, ro, rd, tm, t_min=t_min,
+                    k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
+                    tile=self.tile, dense_threshold=self.dense_threshold,
+                    sort_octants=incoherent,
+                )
+
+            if self.mesh is not None:
+                occ, unc = self._shmap(run, rays_o, rays_d, t_max)
+            else:
+                t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (rays_o.shape[0],))
+                occ, unc = run(self.accel, rays_o, rays_d, t_max_arr)
+            self.telemetry.append(jnp.sum(unc.astype(jnp.float32)))
+            return occ
         if self.kind == "cluster":
             return cluster_mod.occluded_clusters(
                 self.accel, rays_o, rays_d, t_max, t_min,
@@ -83,7 +138,7 @@ def default_kind() -> str:
 def build_tracer(verts: jnp.ndarray, tris: jnp.ndarray, kind: str = "auto",
                  cluster_size: int = 128, max_candidates: int = 10,
                  dense_threshold: int = 8192, k_cap: int = 128,
-                 k_cap_incoherent: int = 512, tile: int = 512) -> Tracer:
+                 k_cap_incoherent: int = 512, tile: int = 512, mesh=None) -> Tracer:
     if kind == "auto":
         kind = default_kind()
     if kind in ("cluster", "tile"):
@@ -91,5 +146,6 @@ def build_tracer(verts: jnp.ndarray, tris: jnp.ndarray, kind: str = "auto",
             cluster_mod.build_clusters(verts, tris, cluster_size), kind,
             max_candidates=max_candidates, dense_threshold=dense_threshold,
             k_cap=k_cap, k_cap_incoherent=k_cap_incoherent, tile=tile,
+            mesh=mesh,
         )
     return Tracer(lbvh_mod.build_bvh(verts, tris), kind)

@@ -145,12 +145,16 @@ def antialias(
         shape_pairs = m2[sl_a].shape
 
         def apply(x2, xa=None, xb=None):
+            # Accumulate per-pair deltas (nvdiffrast semantics): sl_a and sl_b
+            # overlap on interior pixels, so .set() of one pair's result would
+            # silently discard the other pair's contribution to the shared
+            # pixel (left/top element of its pair).  add() keeps both.
             a = x2[sl_a].reshape(-1, x2.shape[-1])
             b = x2[sl_b].reshape(-1, x2.shape[-1])
-            na = a + blend_a[:, None] * (b - a)
-            nb = b + blend_b[:, None] * (a - b)
-            x2 = x2.at[sl_a].set(na.reshape(shape_pairs + (x2.shape[-1],)))
-            x2 = x2.at[sl_b].set(nb.reshape(shape_pairs + (x2.shape[-1],)))
+            da_ = blend_a[:, None] * (b - a)
+            db_ = blend_b[:, None] * (a - b)
+            x2 = x2.at[sl_a].add(da_.reshape(shape_pairs + (x2.shape[-1],)))
+            x2 = x2.at[sl_b].add(db_.reshape(shape_pairs + (x2.shape[-1],)))
             return x2
 
         for n in out:

@@ -211,9 +211,17 @@ def temporal_resampling(
     prev_depth: jnp.ndarray,
     env_tex: jnp.ndarray,
     max_history: float = 20.0,
-) -> Reservoir:
+    v_curr: Optional[jnp.ndarray] = None,
+    v_prev: Optional[jnp.ndarray] = None,
+):
     """Merge the previous frame's reservoir (TemporalResampling.slang:21-135;
-    motion vectors are zero in the reference, renderer_restir.py:487)."""
+    motion vectors are zero in the reference, renderer_restir.py:487).
+
+    v_curr/v_prev: optional [P] bool — known visibility of curr.dir/prev.dir
+    at ctx.position (visibility threading: initial RIS already traced the
+    winner, the previous iteration's final eval traced prev.dir).  When both
+    are given, returns (Reservoir, v_out) with the winner's visibility — no
+    ray was consumed to know it."""
     P = ctx.position.shape[0]
     ok = prev.valid & _valid_neighbor(ctx, prev_normal, prev_depth)
     prev_M = jnp.where(ok, jnp.minimum(prev.M, max_history * jnp.maximum(curr.M, 1.0)), 0.0)
@@ -234,7 +242,10 @@ def temporal_resampling(
     W = jnp.where(sel_p > 0, w_sum / jnp.maximum(M, 1e-8) / jnp.maximum(sel_p, 1e-12), 0.0)
     W = jnp.where(jnp.isfinite(W), W, 0.0)
     valid = (W > 0) & ctx.mask
-    return Reservoir(dir=sel_dir, W=W, M=M, valid=valid)
+    out = Reservoir(dir=sel_dir, W=W, M=M, valid=valid)
+    if v_curr is not None and v_prev is not None:
+        return out, jnp.where(pick_prev, v_prev, v_curr)
+    return out
 
 
 def _m_factor(q0, q1):
@@ -264,9 +275,22 @@ def spatial_resampling(
     tracer: Optional[Tracer] = None,
     n_neighbors: int = 5,
     unbiased: bool = True,
-) -> Reservoir:
+    v_self: Optional[jnp.ndarray] = None,
+):
     """Pairwise-MIS spatial reuse (SpatialResampling.slang:41-321,
-    kUsePairwiseMIS=1). Optionally cross-visibility unbiased variant."""
+    kUsePairwiseMIS=1). Optionally cross-visibility unbiased variant.
+
+    v_self: optional [P] bool — known visibility of res.dir at ctx.position
+    (threaded from initial RIS + previous final eval through temporal).
+    When given (with unbiased+tracer), two savings apply:
+      1. same-direction pairs (neighbor reservoir carries the *same* dir as
+         the canonical — the common case once ReSTIR has propagated winners)
+         reuse v_self instead of tracing: their rays get t_max=0, so the
+         tile tracer drops them from candidate selection entirely;
+      2. the winner's visibility is known without the final-eval shadow ray
+         (a picked neighbor had visibility multiplied into its selection
+         weight, so it is visible by construction; a canonical winner has
+         v_self), and the function returns (Reservoir, vis [P] bool)."""
     P = ctx.position.shape[0]
     nn = n_neighbors
     k_off, k_pick = jax.random.split(key)
@@ -309,9 +333,24 @@ def spatial_resampling(
             [ctx_rep.position + ctx_rep.normal * 1e-4, n_ctx.position + n_ctx.normal * 1e-4]
         )
         dirs = jnp.concatenate([n_res.dir, rep(res.dir)])
-        occ2 = tracer.occluded(origins, dirs, 1e9, incoherent=True)
-        vis_c = ~occ2[: P * nn]
-        vis_n = ~occ2[P * nn :]
+        if v_self is not None:
+            # visibility dedup: a neighbor reservoir carrying bit-identical
+            # direction to the canonical needs no rays — vis(x_c, dir_n) is
+            # v_self[c] and vis(x_n, dir_c) is v_self[n].  t_max=0 makes the
+            # tile tracer treat those lanes as dead (excluded from candidate
+            # frustums; fully-dead tiles skip every grid step).
+            same = jnp.all(n_res.dir == rep(res.dir), axis=-1)  # [P*nn]
+            tmax_pair = jnp.where(same, 0.0, 1e9)
+            occ2 = tracer.occluded(
+                origins, dirs, jnp.concatenate([tmax_pair, tmax_pair]),
+                incoherent=True,
+            )
+            vis_c = jnp.where(same, rep(v_self), ~occ2[: P * nn])
+            vis_n = jnp.where(same, v_self[nidx], ~occ2[P * nn :])
+        else:
+            occ2 = tracer.occluded(origins, dirs, 1e9, incoherent=True)
+            vis_c = ~occ2[: P * nn]
+            vis_n = ~occ2[P * nn :]
         q_cand_at_c = q_cand_at_c * vis_c
         q_canon_at_n = q_canon_at_n * vis_n
 
@@ -342,6 +381,7 @@ def spatial_resampling(
     sel_dir = res.dir
     sel_p = jnp.zeros((P,))
     picked_any = jnp.zeros((P,), bool)
+    sel_canon = jnp.ones((P,), bool)
     for i in range(nn):
         w = w_all[:, i]
         w_sum = w_sum + w
@@ -349,6 +389,7 @@ def spatial_resampling(
         sel_dir = jnp.where(pick[:, None], ndir_all[:, i], sel_dir)
         sel_p = jnp.where(pick, q_at_c_all[:, i], sel_p)
         picked_any = picked_any | pick
+        sel_canon = sel_canon & ~pick
 
     # finalize with the canonical sample (streamingResampleFinalizeMis)
     w_c = p_canon * res.W * canon_mis
@@ -358,6 +399,7 @@ def spatial_resampling(
     sel_dir = jnp.where(pick_c[:, None], res.dir, sel_dir)
     sel_p = jnp.where(pick_c, p_canon, sel_p)
     picked_any = picked_any | pick_c
+    sel_canon = sel_canon | pick_c
 
     # finalize division by validNeighbors = n_valid + 1 (the canonical sample
     # itself counts, SpatialResampling.slang:153)
@@ -367,7 +409,13 @@ def spatial_resampling(
         0.0,
     )
     Wn = jnp.where(jnp.isfinite(Wn), Wn, 0.0)
-    return Reservoir(dir=sel_dir, W=Wn, M=res.M, valid=(Wn > 0) & ctx.mask)
+    out = Reservoir(dir=sel_dir, W=Wn, M=res.M, valid=(Wn > 0) & ctx.mask)
+    if v_self is not None and unbiased and tracer is not None:
+        # a picked neighbor had vis_c multiplied into w (w=0 is never picked
+        # by `u*w_sum < w`), so it is visible by construction; a canonical
+        # winner carries v_self
+        return out, jnp.where(sel_canon, v_self, True)
+    return out
 
 
 def evaluate_final_samples(
@@ -376,12 +424,16 @@ def evaluate_final_samples(
     env_tex: jnp.ndarray,
     tracer: Optional[Tracer],
     check_visibility: bool = True,
+    known_vis: Optional[jnp.ndarray] = None,
 ) -> LightSample:
     """Winning reservoir -> LightSample with Li = W * Le * vis; differentiable
     wrt env_tex (EvaluateFinalSamples.slang:126-188, the envmap-gradient
-    path)."""
+    path).  known_vis: [P] bool winner visibility threaded through the
+    resampling passes — skips the final shadow-ray trace entirely."""
     vis = jnp.ones((ctx.position.shape[0],))
-    if check_visibility and tracer is not None:
+    if known_vis is not None:
+        vis = known_vis.astype(jnp.float32)
+    elif check_visibility and tracer is not None:
         vis = (~tracer.occluded(ctx.position + ctx.normal * 1e-4, res.dir, 1e9, incoherent=True)).astype(jnp.float32)
     le = envlight.eval_le(env_tex, res.dir)
     li = le * (jax.lax.stop_gradient(res.W) * vis)[:, None]

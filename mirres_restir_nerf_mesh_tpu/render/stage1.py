@@ -90,6 +90,11 @@ class Stage1Static:
     antialias: bool = True
     pos_gradient_boost: float = 1.0
 
+    # jax.sharding.Mesh for data-parallel tracing: the Pallas tile tracer is
+    # shard_mapped over the 'data' axis when set (GSPMD cannot partition a
+    # custom call; without this every chip would trace the full ray batch)
+    shard_mesh: Any = None
+
     # screen-space normal-AO buffer for the lambda_extra_kd loss
     # (reference process_normal_ao, renderer.py:1151-1158)
     compute_normal_ao: bool = False
@@ -98,6 +103,52 @@ class Stage1Static:
 def act_voffsets(vo: jnp.ndarray) -> jnp.ndarray:
     """Identity activation (reference nerf/utils.py:340-347 act_voffsets)."""
     return vo
+
+
+def _bilinear_tap(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of img [H,W,C] at float pixel coords (clamp boundary),
+    the dr.texture(filter_mode='linear', boundary_mode='clamp') equivalent."""
+    H, W = img.shape[0], img.shape[1]
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    flat = img.reshape(H * W, -1)
+    g = lambda yy, xx: flat[yy * W + xx]  # noqa: E731
+    top = g(y0i, x0i) * (1 - fx) + g(y0i, x1i) * fx
+    bot = g(y1i, x0i) * (1 - fx) + g(y1i, x1i) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _jittered_tap_grad(
+    key: jax.Array,
+    normal: jnp.ndarray,   # [HW,3] interpolated vertex normal
+    mask: jnp.ndarray,     # [HW] bool coverage
+    H: int,
+    W: int,
+    std_uv: float = 0.005,
+) -> jnp.ndarray:
+    """Reference normal-smoothness tap (renderer.py:1001-1011): sample the
+    normal G-buffer at pixel + N(0, 0.005)·(W,H) and take |tap - center|,
+    weighted by mask * bilinear(mask)."""
+    HW = H * W
+    px = (jnp.arange(HW) % W).astype(jnp.float32)
+    py = (jnp.arange(HW) // W).astype(jnp.float32)
+    off = jax.random.normal(key, (HW, 2)) * std_uv
+    x = px + off[:, 0] * W
+    y = py + off[:, 1] * H
+    img_n = normal.reshape(H, W, 3)
+    img_m = mask.astype(jnp.float32).reshape(H, W, 1)
+    nrm_tap = _bilinear_tap(img_n, x, y)
+    mask_tap = _bilinear_tap(img_m, x, y)[:, 0]
+    grad_weight = mask.astype(jnp.float32) * mask_tap
+    return jnp.sum(jnp.abs(nrm_tap - normal), axis=-1) * grad_weight
 
 
 def render_stage1(
@@ -122,10 +173,11 @@ def render_stage1(
         max_candidates=static.max_candidates,
         dense_threshold=static.dense_threshold,
         k_cap=static.k_cap, k_cap_incoherent=static.k_cap_incoherent,
-        tile=static.ray_tile,
+        tile=static.ray_tile, mesh=static.shard_mesh,
     )
 
     gb = raycast_gbuffer(verts, tris, tracer, rays_o, rays_d)
+    uncertain_primary = tracer.pop_telemetry()
     normal = prepare_shading_normal(gb.view_dir, gb.normal, gb.face_normal)
 
     # --- material & jittered taps for smoothness grads (renderer.py:1000-1022) ---
@@ -143,10 +195,17 @@ def render_stage1(
     ks_grad = jnp.abs(jnp.stack([rough_j - rough, metal_j - metal], -1)) * msk
     ks_grad = jnp.sum(ks_grad, axis=-1)
 
-    # normal smoothness: jittered shading normal difference needs a second
-    # G-buffer; approximate with smooth-vs-face normal disparity (cheap,
-    # same minimizer: flat well-behaved normals)
-    normal_grad = jnp.sum(jnp.abs(gb.normal - gb.face_normal), axis=-1) * gb.mask
+    # normal smoothness (reference renderer.py:1000-1011): the reference's
+    # "jitter" is an IMAGE-SPACE bilinear tap of the interpolated-normal
+    # G-buffer at pixel+N(0, 0.005 uv) — not a second raycast.  Reproduced
+    # exactly when the pixel layout is known; ray-batch mode falls back to
+    # smooth-vs-face normal disparity.
+    if static.H > 0:
+        normal_grad = _jittered_tap_grad(
+            jax.random.fold_in(k_jit, 7), gb.normal, gb.mask, static.H, static.W
+        )
+    else:
+        normal_grad = jnp.sum(jnp.abs(gb.normal - gb.face_normal), axis=-1) * gb.mask
 
     # --- NeRF radiance at surface points (supervision image, renderer.py:1046) ---
     nerf_pts = xyzs if static.enable_offset_nerf_grad else jax.lax.stop_gradient(xyzs)
@@ -203,7 +262,7 @@ def render_stage1(
     P = rays_o.shape[0]
 
     def spp_body(carry, s):
-        prev_res, acc_d, acc_s, acc_i = carry
+        prev_res, prev_vis, acc_d, acc_s, acc_i, acc_u = carry
         k_s = jax.random.fold_in(k_di, s)
         if static.use_restir:
             k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
@@ -211,17 +270,37 @@ def render_stage1(
                 k_i, ctx, tiles, sg(env_tex), env_dist, tracer,
                 static.restir_light_samples, static.restir_brdf_samples,
             )
-            res = restir_mod.temporal_resampling(
-                k_tm, ctx, res, prev_res, ctx.normal, ctx.depth, sg(env_tex),
-                max_history=static.restir_history,
-            )
-            res = restir_mod.spatial_resampling(
-                k_sp, ctx, res, sg(env_tex), static.H, static.W, offsets,
-                tracer=tracer, n_neighbors=static.restir_neighbors,
-                unbiased=static.restir_unbiased_spatial,
-            )
-            prev_res = res
-            light = restir_mod.evaluate_final_samples(ctx, res, env_tex, tracer)
+            # visibility threading (zero extra rays): initial RIS invalidated
+            # occluded winners, so surviving ones are visible; prev_vis is the
+            # previous iteration's final-winner visibility
+            thread_vis = static.restir_unbiased_spatial
+            if thread_vis:
+                res, v_self = restir_mod.temporal_resampling(
+                    k_tm, ctx, res, prev_res, ctx.normal, ctx.depth, sg(env_tex),
+                    max_history=static.restir_history,
+                    v_curr=jnp.ones((P,), bool), v_prev=prev_vis,
+                )
+                res, final_vis = restir_mod.spatial_resampling(
+                    k_sp, ctx, res, sg(env_tex), static.H, static.W, offsets,
+                    tracer=tracer, n_neighbors=static.restir_neighbors,
+                    unbiased=True, v_self=v_self,
+                )
+                prev_res, prev_vis = res, final_vis
+                light = restir_mod.evaluate_final_samples(
+                    ctx, res, env_tex, tracer, known_vis=final_vis
+                )
+            else:
+                res = restir_mod.temporal_resampling(
+                    k_tm, ctx, res, prev_res, ctx.normal, ctx.depth, sg(env_tex),
+                    max_history=static.restir_history,
+                )
+                res = restir_mod.spatial_resampling(
+                    k_sp, ctx, res, sg(env_tex), static.H, static.W, offsets,
+                    tracer=tracer, n_neighbors=static.restir_neighbors,
+                    unbiased=False,
+                )
+                prev_res = res
+                light = restir_mod.evaluate_final_samples(ctx, res, env_tex, tracer)
         else:
             light = pathtracer.sample_direct_mis(
                 k_s, sg(xyzs), sg(normal), gb.view_dir, gb.mask, sg(kd_shade),
@@ -236,13 +315,17 @@ def render_stage1(
             tracer, sg(verts), tris, material_fn,
             env_tex, env_dist, bounces=static.bounces,
         )
-        return (prev_res, acc_d + diff_s, acc_s + spec_s, acc_i + ind_s), None
+        acc_u = acc_u + tracer.pop_telemetry()
+        return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s,
+                acc_i + ind_s, acc_u), None
 
     zero = jnp.zeros((P, 3))
-    carry0 = (restir_mod.empty_reservoir(P), zero, zero, zero)
-    (_, sum_d, sum_s, sum_i), _ = jax.lax.scan(
+    carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero, zero,
+              zero, jnp.zeros((), jnp.float32))
+    (_, _, sum_d, sum_s, sum_i, sum_u), _ = jax.lax.scan(
         spp_body, carry0, jnp.arange(static.spp)
     )
+    uncertain_count = uncertain_primary + sum_u
     inv = 1.0 / float(static.spp)
     diffuse_light = sum_d * inv
     specular_light = sum_s * inv
@@ -342,5 +425,8 @@ def render_stage1(
         "xyzs": xyzs,
         "mask": gb.mask,
         "face_id": gb.face_id,
+        # tile-tracer exactness telemetry: rays this frame whose result may
+        # lie in a budget-dropped candidate (> 0 => raise k_cap budgets)
+        "uncertain_count": uncertain_count,
         **({"normal_ao": nrm_ao} if nrm_ao is not None else {}),
     }

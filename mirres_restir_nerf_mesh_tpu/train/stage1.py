@@ -202,6 +202,7 @@ def stage1_loss(
 
     aux = {
         "loss": loss,
+        "uncertain_count": out["uncertain_count"],
         "psnr": -10.0 * jnp.log10(jnp.maximum(jnp.mean((out["image"] - gt) ** 2), 1e-12)),
         "psnr_brdf": -10.0
         * jnp.log10(jnp.maximum(jnp.mean((out["image_brdf"] - gt) ** 2), 1e-12)),

@@ -164,6 +164,7 @@ class Trainer:
             enable_offset_nerf_grad=cfg.enable_offset_nerf_grad,
             compute_normal_ao=cfg.use_brdf and cfg.lambda_extra_kd > 0,
             ssaa=ssaa,
+            shard_mesh=self.mesh,
         )
 
         # stage-1 bootstraps from stage-0 best (utils.py:871-873)
@@ -269,6 +270,14 @@ class Trainer:
                 last = {
                     k: float(v) for k, v in aux.items() if getattr(v, "ndim", 0) == 0
                 }
+                if last.get("uncertain_count", 0.0) > 0:
+                    # tile-tracer budget truncation: results may silently miss
+                    # hits; raise k_cap / k_cap_incoherent (Stage1Static)
+                    self.log(
+                        f"[tracer] WARNING: {last['uncertain_count']:.0f} rays "
+                        "exceeded the candidate budget this step — raise "
+                        "k_cap/k_cap_incoherent to restore exactness"
+                    )
                 rate = (i + 1 - start) / max(time.time() - t0, 1e-9)
                 self.log(
                     f"[train] step {i+1}/{steps} loss={last.get('loss', 0):.5f} "
@@ -396,16 +405,22 @@ class Trainer:
             exposure = jnp.asarray(2.0 ** self.cfg.exposure)
 
         static = self.static
-        if getattr(self, "stage1_rows", 0) > 0:
-            import dataclasses
+        import dataclasses
 
+        if getattr(self, "stage1_rows", 0) > 0:
             static = dataclasses.replace(
                 static, H=sampler.H * ssaa
             )  # eval renders full frames even when training is row-banded
+        # test-mode spp override (reference NVS protocol: 512 spp converged
+        # eval, 128 spp relighting — readme.md:93,111)
+        if self.cfg.test:
+            spp = self.cfg.relight_spp if relight_env is not None else self.cfg.eval_spp
+            if spp > 0 and spp != static.spp:
+                static = dataclasses.replace(static, spp=spp)
         # jit once per (static identity, relight-mode) — eager dispatch of
         # the full stage-1 graph costs minutes (static holds arrays, so key
         # by identity, not equality)
-        cache_key = (id(self.static), static.H, relight_env is not None,
+        cache_key = (id(self.static), static.H, static.spp, relight_env is not None,
                      albedo_scale is not None, exposure is not None)
         if getattr(self, "_eval_render_key", None) != cache_key:
             self._eval_render_key = cache_key

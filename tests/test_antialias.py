@@ -81,6 +81,38 @@ def test_mask_gradient_exists_only_with_antialias():
     assert float(g_soft[0]) < 0
 
 
+def test_left_pixel_of_pair_receives_blend():
+    """ADVICE r2 (high): overlapping .at[].set() writes discarded any blend
+    whose adjusted pixel is the LEFT element of its horizontal pair.  A
+    half-plane whose silhouette falls just past a hit-pixel center (s < 1/2)
+    must dim that hit pixel — the 'a' element of its pair."""
+    xs = np.linspace(-0.5, 0.5, W)
+    i_hit = W // 2
+    frac = 0.2  # edge at 20% of the way from pixel i_hit to i_hit+1
+    x_edge_ndc = xs[i_hit] + frac * (xs[i_hit + 1] - xs[i_hit])
+    xe = 2.2 * x_edge_ndc  # perspective rays from z=2.2 hit z=0 at 2.2*ndc
+    verts = np.array(
+        [[-2, -2, 0], [xe, -2, 0], [xe, 2, 0], [-2, 2, 0]], np.float32
+    )
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    rays_o, rays_d = camera_rays()
+    tracer = build_tracer(jnp.asarray(verts), jnp.asarray(tris), kind="cluster")
+    gb = raycast_gbuffer(jnp.asarray(verts), jnp.asarray(tris), tracer, rays_o, rays_d)
+    m2 = np.asarray(gb.mask).reshape(H, W)
+    row = H // 2
+    assert m2[row, i_hit] and not m2[row, i_hit + 1], "fixture: boundary moved"
+
+    buf = gb.mask.astype(jnp.float32)[:, None]
+    out, _ = antialias(
+        {"c": buf}, gb.mask, (gb.tri_v0, gb.tri_v1, gb.tri_v2),
+        rays_o, gb.view_dir, H, W,
+    )
+    c2 = np.asarray(out["c"]).reshape(H, W)
+    # the hit pixel loses (1/2 - s) ~ 0.3 of its value toward the miss (0)
+    assert abs(c2[row, i_hit] - 1.0) > 0.05, "left-of-pair blend was discarded"
+    assert abs(c2[row, i_hit] - (1.0 - (0.5 - frac))) < 0.12
+
+
 def test_mask_loss_alone_converges_translation():
     verts, tris = make_sphere()
     bv, tr = jnp.asarray(verts), jnp.asarray(tris)

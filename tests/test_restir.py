@@ -135,6 +135,59 @@ def test_spatial_reuse_unbiased(scene):
     assert (rel < 0.10).all(), f"spatial reuse biased: est {est.mean(0)} vs ref {ref.mean(0)}"
 
 
+def test_spatial_visibility_threading_exact(scene):
+    """Visibility threading (r3 perf): spatial_resampling with v_self must be
+    BIT-EXACT vs the trace-everything path, and the returned winner vis must
+    equal an explicit trace of the winner — on a scene with real occlusion
+    and duplicated reservoir directions (the dedup fast path)."""
+    from mirres_restir_nerf_mesh_tpu.ops.tracer import build_tracer
+
+    ctx, env, dist = scene
+    # blocker quad above half the pixels
+    verts = jnp.array(
+        [[-5.0, 0.0, 1.0], [5.0, 0.0, 1.0], [5.0, 5.0, 1.0], [-5.0, 5.0, 1.0]],
+        jnp.float32,
+    )
+    tris = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    tracer = build_tracer(verts, tris, kind="cluster")
+
+    # reservoirs whose dirs repeat across pixels (winner propagation regime)
+    key = jax.random.PRNGKey(3)
+    pool = jax.random.normal(key, (4, 3))
+    pool = pool / jnp.linalg.norm(pool, axis=-1, keepdims=True)
+    pool = pool.at[:, 2].set(jnp.abs(pool[:, 2]) + 0.2)  # upper hemisphere
+    pool = pool / jnp.linalg.norm(pool, axis=-1, keepdims=True)
+    pick = jax.random.randint(jax.random.fold_in(key, 1), (P,), 0, 4)
+    res = restir.Reservoir(
+        dir=pool[pick],
+        W=jnp.full((P,), 0.5),
+        M=jnp.ones((P,)),
+        valid=jnp.ones((P,), bool),
+    )
+    v_self = ~tracer.occluded(
+        ctx.position + ctx.normal * 1e-4, res.dir, 1e9, incoherent=True
+    )
+    assert bool(v_self.any()) and not bool(v_self.all()), "fixture needs mixed vis"
+
+    offsets = restir.make_neighbor_offsets(jax.random.PRNGKey(42), 256, 3.0)
+    k = jax.random.PRNGKey(11)
+    r_ref = restir.spatial_resampling(
+        k, ctx, res, env, H_IMG, W_IMG, offsets, tracer=tracer,
+        n_neighbors=3, unbiased=True,
+    )
+    r_thr, vis = restir.spatial_resampling(
+        k, ctx, res, env, H_IMG, W_IMG, offsets, tracer=tracer,
+        n_neighbors=3, unbiased=True, v_self=v_self,
+    )
+    for a, b in zip(r_ref, r_thr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    vis_trace = ~tracer.occluded(
+        ctx.position + ctx.normal * 1e-4, r_thr.dir, 1e9, incoherent=True
+    )
+    sel = np.asarray(r_thr.valid)
+    np.testing.assert_array_equal(np.asarray(vis)[sel], np.asarray(vis_trace)[sel])
+
+
 def test_envmap_gradient_flows_through_final_samples(scene):
     ctx, env, dist = scene
 

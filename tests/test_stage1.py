@@ -222,3 +222,38 @@ def test_ssaa_loss_shapes(sphere_scene):
     loss, aux = stage1.stage1_loss(state.params, static, jnp.asarray(verts),
                                    topo, batch, key, cfg)
     assert bool(jnp.isfinite(loss))
+
+
+def test_jittered_normal_tap_grad():
+    """Reference normal-smoothness formulation (renderer.py:1001-1011): an
+    image-space bilinear tap at pixel+jitter.  Flat normal buffers must give
+    zero grad; a seam concentrates grad at the seam; misses contribute 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mirres_restir_nerf_mesh_tpu.render.stage1 import _jittered_tap_grad
+
+    H = W = 32
+    key = jax.random.PRNGKey(0)
+
+    flat = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (H * W, 1))
+    mask = jnp.ones((H * W,), bool)
+    g0 = _jittered_tap_grad(key, flat, mask, H, W, std_uv=0.05)
+    assert float(jnp.max(g0)) < 1e-6
+
+    # vertical seam at W//2: +z left, +x right
+    xs = np.arange(W)[None, :].repeat(H, 0).reshape(-1)
+    seam = np.where(
+        (xs < W // 2)[:, None],
+        np.array([[0.0, 0.0, 1.0]]),
+        np.array([[1.0, 0.0, 0.0]]),
+    ).astype(np.float32)
+    g1 = _jittered_tap_grad(key, jnp.asarray(seam), mask, H, W, std_uv=0.05)
+    g1 = np.asarray(g1).reshape(H, W)
+    near = np.abs(xs.reshape(H, W) - W // 2) <= 2
+    assert g1[near].mean() > 10 * max(g1[~near].mean(), 1e-9)
+
+    # masked-out pixels are excluded
+    g2 = _jittered_tap_grad(key, jnp.asarray(seam), jnp.zeros((H * W,), bool), H, W)
+    assert float(jnp.max(g2)) == 0.0

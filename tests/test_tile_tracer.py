@@ -167,3 +167,73 @@ def test_tile_per_ray_padding():
     ref = lbvh_mod.intersect_bvh(bvh, rays_o, rays_d)
     out = tile_tracer.tile_trace(cm, rays_o, rays_d)
     np.testing.assert_array_equal(np.asarray(out.hit.prim >= 0), np.asarray(ref.prim >= 0))
+
+
+def test_uncertain_telemetry_surfaces_through_tracer():
+    """VERDICT r2 item 7: budget truncation must be VISIBLE in production —
+    a deep stack of slabs with a tiny candidate budget triggers uncertain>0,
+    collected by Tracer.telemetry and popped as a scalar count."""
+    from mirres_restir_nerf_mesh_tpu.ops.tracer import Tracer
+
+    # Decoy rings: each ring's cluster AABB spans the full [-1,1]^2 disc at
+    # its depth (entry BEFORE the wall) but holds no geometry near the center,
+    # so entry-sorted candidate selection burns the budget on clusters that
+    # cannot produce the hit — the wall behind them is dropped.
+    vs, ts = [], []
+
+    def ring(z):
+        b0 = len(vs)
+        n = 128
+        for k in range(n):
+            a0 = 2 * np.pi * k / n
+            a1 = 2 * np.pi * (k + 0.5) / n
+            vs.append([np.cos(a0), np.sin(a0), z])
+            vs.append([np.cos(a1), np.sin(a1), z])
+            vs.append([0.98 * np.cos(a0), 0.98 * np.sin(a0), z + 0.005])
+        for k in range(n):
+            b = b0 + 3 * k
+            ts.append([b, b + 1, b + 2])
+
+    for i in range(8):
+        ring(1.0 - 0.05 * i)
+    # solid wall behind the rings (the true hit for center rays)
+    bw = len(vs)
+    vs += [[-1, -1, 0.2], [1, -1, 0.2], [1, 1, 0.2], [-1, 1, 0.2]]
+    for k in range(64):
+        ts.append([bw, bw + 1, bw + 2])
+        ts.append([bw, bw + 2, bw + 3])
+    verts = jnp.asarray(np.asarray(vs, np.float32))
+    tris = jnp.asarray(np.asarray(ts, np.int32))
+    cm = cluster_bvh.build_clusters(verts, tris, 128)
+    C, S = cm.prim.shape
+    assert C >= 8, f"fixture needs many clusters, got C={C}"
+
+    # center rays: inside every ring AABB, hitting only the wall
+    rng = np.random.RandomState(5)
+    o = np.column_stack([
+        rng.uniform(-0.2, 0.2, 512), rng.uniform(-0.2, 0.2, 512),
+        np.full(512, 2.0),
+    ]).astype(np.float32)
+    d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (512, 1))
+    rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
+    tr = Tracer(cm, "tile", k_cap=2, k_cap_incoherent=2, dense_threshold=1)
+
+    @jax.jit
+    def probe(ro, rd):
+        hit = tr.intersect(ro, rd)
+        return hit.t, tr.pop_telemetry()
+
+    t, unc = probe(rays_o, rays_d)
+    assert float(unc) > 0, "tiny budget on a deep slab stack must report uncertainty"
+
+    tr2 = Tracer(cm, "tile", k_cap=int(C), k_cap_incoherent=int(C), dense_threshold=1)
+
+    @jax.jit
+    def probe2(ro, rd):
+        hit = tr2.intersect(ro, rd)
+        return hit.t, tr2.pop_telemetry()
+
+    t2, unc2 = probe2(rays_o, rays_d)
+    assert float(unc2) == 0, "full budget must be certain"
+    # and the truncated trace really was wrong about some rays
+    assert not np.allclose(np.asarray(t), np.asarray(t2))
