@@ -187,6 +187,136 @@ def _kernel(cand_ref, octs_ref, counts_ref, geom_ref, rays_ref, out_ref, *,
                 out_ref[0, 4, :] = jnp.where(better, cid, out_ref[0, 4, :])
 
 
+def _queue_kernel(qt_ref, qc_ref, qm_ref, geom_ref, rays_ref, prev_ref,
+                  out_ref, *, t_min: float, any_hit: bool, S: int, R: int):
+    """Work-queue variant of _kernel: the grid is a flat list of ACTIVE
+    (tile, candidate) pairs instead of tiles x k_cap, so fully-skipped steps
+    (~0.13 us each, the majority at k_cap=512 on incoherent batches) vanish
+    from the grid entirely.  qm packs [oct<<3 | active<<2 | copy<<1 | fresh]:
+    fresh = first queue item of a tile (init its output block), copy = first
+    item within this CHUNK of a tile continued from the previous chunk
+    (restore its running state from prev_ref)."""
+    w = pl.program_id(0)
+    m = qm_ref[w]
+
+    @pl.when((m & 1) == 1)
+    def _fresh():
+        out_ref[0, 0, :] = jnp.full((R,), BIG, jnp.float32)
+        out_ref[0, 1, :] = jnp.zeros((R,), jnp.float32)
+        out_ref[0, 2, :] = jnp.zeros((R,), jnp.float32)
+        out_ref[0, 3, :] = jnp.zeros((R,), jnp.float32)
+        out_ref[0, 4, :] = jnp.zeros((R,), jnp.float32)
+
+    @pl.when((m & 2) == 2)
+    def _copy():
+        out_ref[0, :, :] = prev_ref[0, :, :]
+
+    @pl.when((m & 4) == 4)
+    def _body():
+        ox = rays_ref[0, 0, :]
+        oy = rays_ref[0, 1, :]
+        oz = rays_ref[0, 2, :]
+        dx = rays_ref[0, 3, :]
+        dy = rays_ref[0, 4, :]
+        dz = rays_ref[0, 5, :]
+        tmax = rays_ref[0, 6, :]
+        best = out_ref[0, 0, :]
+
+        oct_k = m >> 3
+        ray_oct = (
+            (dx > 0).astype(jnp.int32)
+            + 2 * (dy > 0).astype(jnp.int32)
+            + 4 * (dz > 0).astype(jnp.int32)
+        )
+        oct_ok = jnp.bitwise_and(jnp.right_shift(oct_k, ray_oct), 1) == 1
+
+        bnx = geom_ref[0, 10, 0]
+        bny = geom_ref[0, 11, 0]
+        bnz = geom_ref[0, 12, 0]
+        bxx = geom_ref[0, 13, 0]
+        bxy = geom_ref[0, 14, 0]
+        bxz = geom_ref[0, 15, 0]
+
+        def inv(c):
+            return 1.0 / jnp.where(jnp.abs(c) < 1e-12, 1e-12, c)
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        lox, hix = (bnx - ox) * ix, (bxx - ox) * ix
+        loy, hiy = (bny - oy) * iy, (bxy - oy) * iy
+        loz, hiz = (bnz - oz) * iz, (bxz - oz) * iz
+        t0 = jnp.maximum(
+            jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+            jnp.minimum(loz, hiz),
+        )
+        t1 = jnp.minimum(
+            jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+            jnp.maximum(loz, hiz),
+        )
+        entry = jnp.maximum(t0, 0.0)
+        useful = (
+            oct_ok
+            & (t1 >= jnp.maximum(t0, t_min))
+            & (t0 <= tmax)
+            & (entry < best)
+        )
+        if any_hit:
+            useful = useful & (best >= BIG)
+
+        @pl.when(jnp.any(useful))
+        def _mt():
+            v0x = geom_ref[0, 0, :][:, None]
+            v0y = geom_ref[0, 1, :][:, None]
+            v0z = geom_ref[0, 2, :][:, None]
+            e1x = geom_ref[0, 3, :][:, None]
+            e1y = geom_ref[0, 4, :][:, None]
+            e1z = geom_ref[0, 5, :][:, None]
+            e2x = geom_ref[0, 6, :][:, None]
+            e2y = geom_ref[0, 7, :][:, None]
+            e2z = geom_ref[0, 8, :][:, None]
+            prim = geom_ref[0, 9, :][:, None]
+
+            rdx, rdy, rdz = dx[None, :], dy[None, :], dz[None, :]
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            dinv = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+            tx = ox[None, :] - v0x
+            ty = oy[None, :] - v0y
+            tz = oz[None, :] - v0z
+            u = (tx * px + ty * py + tz * pz) * dinv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (rdx * qx + rdy * qy + rdz * qz) * dinv
+            th = (e2x * qx + e2y * qy + e2z * qz) * dinv
+            ok = (
+                (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                & (th > t_min) & (th < tmax[None, :]) & (prim >= 0)
+                & useful[None, :]
+            )
+
+            if any_hit:
+                found_now = jnp.any(ok, axis=0)
+                out_ref[0, 0, :] = jnp.where(found_now, 0.0, best)
+            else:
+                th = jnp.where(ok, th, BIG)
+                slot = jnp.argmin(th, axis=0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (S, R), 0)
+                sel = rows == slot[None, :]
+                t_best = jnp.min(th, axis=0)
+                u_best = jnp.max(jnp.where(sel, u, -BIG), axis=0)
+                v_best = jnp.max(jnp.where(sel, v, -BIG), axis=0)
+
+                better = t_best < best
+                cid = qc_ref[w].astype(jnp.float32)
+                out_ref[0, 0, :] = jnp.where(better, t_best, best)
+                out_ref[0, 1, :] = jnp.where(better, slot.astype(jnp.float32), out_ref[0, 1, :])
+                out_ref[0, 2, :] = jnp.where(better, u_best, out_ref[0, 2, :])
+                out_ref[0, 3, :] = jnp.where(better, v_best, out_ref[0, 3, :])
+                out_ref[0, 4, :] = jnp.where(better, cid, out_ref[0, 4, :])
+
+
 def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int):
     """Conservative per-(tile, octant) candidate clusters, merged per tile.
 
@@ -195,7 +325,10 @@ def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int
       octs [T,K] int32 owning octant of each candidate,
       counts [T] int32 valid prefix length,
       dropped [T] f32 entry lower bound of the first candidate dropped by
-        the budget (inf if none dropped): per-tile exactness bound.
+        the budget (inf if none dropped): per-tile exactness bound,
+      entries [T,K] f32 conservative entry t of each kept candidate (inf on
+        padding) — the queue path uses these to extend the dropped bound
+        when its global work budget truncates a tile.
     """
     T_, R, _ = rot.shape
     C = cm.aabb_min.shape[0]
@@ -274,7 +407,132 @@ def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int
     last = jnp.take_along_axis(cand, jnp.clip(counts - 1, 0, K - 1)[:, None], axis=1)
     karange = jnp.arange(K)[None, :]
     cand = jnp.where(karange < counts[:, None], cand, last)
-    return cand, octs, counts, dropped
+    return cand, octs, counts, dropped, ent_m[:, :K]
+
+
+def _run_queue(cm: ClusterMesh, cand, octs, counts, dropped, entries, rays_cm,
+               *, t_min: float, any_hit: bool, S: int, R: int, q_avg: int,
+               w_chunk: int = 49152):
+    """Execute the candidate work as a FLAT queue of (tile, candidate) pairs.
+
+    The 2-D (tiles, k_cap) grid pays ~0.13 us per fully-skipped step — at
+    k_cap=512 on a 655k-ray batch that is ~85 ms of pure skip overhead, and
+    tiles deadened by visibility threading (t_max=0) still pay full k_cap.
+    Here the grid is exactly the work: per tile, one mandatory init item plus
+    its active candidates, budgeted to W_cap = T*q_avg items total (the
+    budget clip extends the per-tile `dropped` exactness bound, so
+    truncation is still accounted by the uncertain telemetry).
+
+    Queue tables are built scatter+cumsum style (no searchsorted, no scalar
+    gathers): segment starts are scattered into a [W] difference array whose
+    cumsum yields per-item tile id / segment offset / count.
+
+    Returns (out [T,8,R], dropped [T])."""
+    T_, K = cand.shape
+    # global work budget: q_avg items per tile on average, floored so small
+    # launches (few tiles) always get full per-tile capacity — the queue
+    # only needs to be tight when the tile count is large
+    W_cap = min(max(T_ * max(q_avg, 1), 16384), T_ * K)
+    # pad W_cap to a multiple of the chunk so every chunk has full shape
+    n_chunks = -(-W_cap // w_chunk) if W_cap > w_chunk else 1
+    W_cap = n_chunks * min(w_chunk, W_cap) if n_chunks > 1 else W_cap
+    Wc = W_cap // n_chunks
+
+    counts_q = jnp.maximum(counts, 1)
+    # budget clip: the largest UNIFORM per-tile cap whose total fits W_cap
+    # (vectorized over all K caps, O(T*K) flops).  Entry-sorted candidates
+    # mean each tile keeps its nearest clusters; tiles under the cap donate
+    # their slack to crowded ones, so truncation (watched by the dropped
+    # bound -> uncertain telemetry) needs BOTH a tight budget and uniformly
+    # crowded tiles.
+    caps = jnp.arange(1, K + 1)
+    fits = jnp.sum(jnp.minimum(counts_q[:, None], caps[None, :]), axis=0) <= W_cap
+    cap = jnp.where(jnp.any(fits), 1 + jnp.sum(fits.astype(jnp.int32)) - 1, 1)
+    # fits is monotone non-increasing in cap, so #true = largest fitting cap
+    counts_adj = jnp.minimum(counts_q, jnp.maximum(cap, 1))
+    trunc = counts_adj < counts
+    ent_at_cut = jnp.take_along_axis(
+        entries, jnp.clip(counts_adj, 0, K - 1)[:, None], axis=1
+    )[:, 0]
+    dropped = jnp.where(trunc, jnp.minimum(dropped, ent_at_cut), dropped)
+
+    off = jnp.cumsum(counts_adj) - counts_adj          # [T] exclusive
+    total = off[-1] + counts_adj[-1]
+
+    # per-item tables via segment-difference cumsums over [W]
+    w = jnp.arange(W_cap, dtype=jnp.int32)
+    seg_mark = jnp.zeros((W_cap,), jnp.int32).at[off].add(1)
+    ti = jnp.cumsum(seg_mark) - 1                      # [W] tile id
+    d_off = jnp.concatenate([off[:1], off[1:] - off[:-1]])
+    off_at = jnp.cumsum(jnp.zeros((W_cap,), jnp.int32).at[off].add(d_off))
+    k = w - off_at                                     # [W] candidate idx
+    d_cnt = jnp.concatenate([counts[:1], counts[1:] - counts[:-1]])
+    cnt_at = jnp.cumsum(jnp.zeros((W_cap,), jnp.int32).at[off].add(d_cnt))
+
+    validw = w < total
+    # tail no-ops pin the LAST real tile's block (keeps it open, no writes;
+    # a fresh block opened by a no-op would write back garbage)
+    ti_last = ti[jnp.clip(total - 1, 0, W_cap - 1)]
+    qt = jnp.where(validw, ti, ti_last).astype(jnp.int32)
+    k = jnp.where(validw, k, 0)
+
+    pair = jnp.stack([cand, octs], axis=-1).reshape(T_ * K, 2)
+    lin = qt * K + jnp.clip(k, 0, K - 1)
+    co = pair[lin]                                     # ONE wide-row gather
+    qc = co[:, 0].astype(jnp.int32)
+    qo = co[:, 1]
+
+    active = validw & (k < cnt_at)
+    fresh = validw & (k == 0)
+    meta = (
+        fresh.astype(jnp.int32)
+        | (active.astype(jnp.int32) << 2)
+        | (qo << 3)
+    )
+
+    def call(qt_c, qc_c, qm_c, prev):
+        nw = qt_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nw,),
+            in_specs=[
+                pl.BlockSpec((1, 16, S), lambda w_, qt_, qc_, qm_: (qc_[w_], 0, 0)),
+                pl.BlockSpec((1, 8, R), lambda w_, qt_, qc_, qm_: (qt_[w_], 0, 0)),
+                pl.BlockSpec((1, 8, R), lambda w_, qt_, qc_, qm_: (qt_[w_], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, R), lambda w_, qt_, qc_, qm_: (qt_[w_], 0, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _queue_kernel, t_min=t_min, any_hit=any_hit, S=S, R=R
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((T_, 8, R), jnp.float32),
+            interpret=_interpret(),
+        )(qt_c, qc_c, qm_c, cm.geom_cm, rays_cm, prev)
+
+    if n_chunks == 1:
+        return call(qt, qc, meta, jnp.zeros((T_, 8, R), jnp.float32)), dropped
+
+    outs = []
+    prev = jnp.zeros((T_, 8, R), jnp.float32)
+    for c in range(n_chunks):
+        s0 = c * Wc
+        meta_c = meta[s0:s0 + Wc]
+        if c > 0:
+            # chunk's first item continues a tile mid-stream: restore its
+            # running state from the previous chunk's output
+            cont = (k[s0] > 0) & validw[s0]
+            meta_c = meta_c.at[0].set(
+                meta_c[0] | (cont.astype(jnp.int32) << 1)
+            )
+        prev = call(qt[s0:s0 + Wc], qc[s0:s0 + Wc], meta_c, prev)
+        outs.append(prev)
+    # a tile's final state lives in the LAST chunk that touched it
+    lc = (off + counts_adj - 1) // Wc                   # [T]
+    stacked = jnp.stack(outs)                           # [n_chunks, T, 8, R]
+    out = jnp.take_along_axis(stacked, lc[None, :, None, None], axis=0)[0]
+    return out, dropped
 
 
 class TileTraceOut(NamedTuple):
@@ -293,8 +551,15 @@ def tile_trace(
     tile: int = R_TILE,
     sort_octants: bool = False,
     sort_block: int = 4096,
+    queue: bool = True,
+    queue_avg: int = 64,
 ) -> TileTraceOut:
     """Trace via tile-coherent candidate streaming.  Requires S % 128 == 0.
+
+    queue: execute candidates as a flat work queue (grid = active work, no
+    skipped-step overhead; see _run_queue) with a global budget of
+    queue_avg items per tile on average.  queue=False runs the dense
+    (tiles, k_cap) grid.
 
     sort_octants: reorder rays before tiling so each tile's candidate union
     shrinks (~1 ms for 655k rays via lax.sort_key_val + one wide-row gather).
@@ -349,7 +614,9 @@ def tile_trace(
     rdt = rd.reshape(n_tiles, R, 3)
     tmt = tm.reshape(n_tiles, R)
 
-    cand, octs, counts, dropped = _octant_candidates(cm, rot, rdt, tmt, t_min, k_cap)
+    cand, octs, counts, dropped, entries = _octant_candidates(
+        cm, rot, rdt, tmt, t_min, k_cap
+    )
     K = cand.shape[1]
 
     rays_cm = jnp.zeros((n_tiles, 8, R), jnp.float32)
@@ -357,35 +624,42 @@ def tile_trace(
     rays_cm = rays_cm.at[:, 3:6, :].set(rdt.transpose(0, 2, 1))
     rays_cm = rays_cm.at[:, 6, :].set(tmt)
 
-    def call(cand_c, octs_c, counts_c, rays_c):
-        nt = cand_c.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nt, K),
-            in_specs=[
-                pl.BlockSpec((1, 16, S), lambda ti, k, cand, octs, counts: (cand[ti, k], 0, 0)),
-                pl.BlockSpec((1, 8, R), lambda ti, k, cand, octs, counts: (ti, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 8, R), lambda ti, k, cand, octs, counts: (ti, 0, 0)),
+    if queue:
+        out, dropped = _run_queue(
+            cm, cand, octs, counts, dropped, entries, rays_cm,
+            t_min=t_min, any_hit=any_hit, S=S, R=R,
+            q_avg=queue_avg,
         )
-        return pl.pallas_call(
-            functools.partial(_kernel, t_min=t_min, any_hit=any_hit, S=S, R=R),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nt, 8, R), jnp.float32),
-            interpret=_interpret(),
-        )(cand_c, octs_c, counts_c, cm.geom_cm, rays_c)
-
-    # scalar-prefetch tables live in SMEM (~1 MB): chunk the tile axis so
-    # cand+octs+counts stay well under budget for huge ray batches
-    tiles_chunk = max(8, 49152 // max(K, 1))
-    if n_tiles <= tiles_chunk:
-        out = call(cand, octs, counts, rays_cm)
     else:
-        outs = []
-        for s0 in range(0, n_tiles, tiles_chunk):
-            e0 = min(s0 + tiles_chunk, n_tiles)
-            outs.append(call(cand[s0:e0], octs[s0:e0], counts[s0:e0], rays_cm[s0:e0]))
-        out = jnp.concatenate(outs, axis=0)
+        def call(cand_c, octs_c, counts_c, rays_c):
+            nt = cand_c.shape[0]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(nt, K),
+                in_specs=[
+                    pl.BlockSpec((1, 16, S), lambda ti, k, cand, octs, counts: (cand[ti, k], 0, 0)),
+                    pl.BlockSpec((1, 8, R), lambda ti, k, cand, octs, counts: (ti, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 8, R), lambda ti, k, cand, octs, counts: (ti, 0, 0)),
+            )
+            return pl.pallas_call(
+                functools.partial(_kernel, t_min=t_min, any_hit=any_hit, S=S, R=R),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((nt, 8, R), jnp.float32),
+                interpret=_interpret(),
+            )(cand_c, octs_c, counts_c, cm.geom_cm, rays_c)
+
+        # scalar-prefetch tables live in SMEM (~1 MB): chunk the tile axis so
+        # cand+octs+counts stay well under budget for huge ray batches
+        tiles_chunk = max(8, 49152 // max(K, 1))
+        if n_tiles <= tiles_chunk:
+            out = call(cand, octs, counts, rays_cm)
+        else:
+            outs = []
+            for s0 in range(0, n_tiles, tiles_chunk):
+                e0 = min(s0 + tiles_chunk, n_tiles)
+                outs.append(call(cand[s0:e0], octs[s0:e0], counts[s0:e0], rays_cm[s0:e0]))
+            out = jnp.concatenate(outs, axis=0)
 
     best_t = out[:, 0, :].reshape(Np)[:N]
     found = best_t < BIG * 0.5
@@ -446,6 +720,8 @@ def intersect_tiles_t(
     tile: int = R_TILE,
     dense_threshold: int = 8192,
     sort_octants: bool = False,
+    queue: bool = True,
+    queue_avg: int = 64,
 ) -> TileTraceOut:
     """TileTraceOut-contract wrapper with exactness telemetry: dense pass for
     small meshes (exact -> uncertain all-False), tile trace otherwise."""
@@ -458,6 +734,7 @@ def intersect_tiles_t(
     return tile_trace(
         cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=any_hit,
         k_cap=k_cap, tile=tile, sort_octants=sort_octants,
+        queue=queue, queue_avg=queue_avg,
     )
 
 
@@ -472,13 +749,15 @@ def intersect_tiles(
     tile: int = R_TILE,
     dense_threshold: int = 8192,
     sort_octants: bool = False,
+    queue: bool = True,
+    queue_avg: int = 64,
 ) -> HitResult:
     """HitResult-contract wrapper: dense pass for small meshes, tile trace
     otherwise (same dispatch shape as cluster_bvh.intersect_clusters)."""
     return intersect_tiles_t(
         cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=any_hit,
         k_cap=k_cap, tile=tile, dense_threshold=dense_threshold,
-        sort_octants=sort_octants,
+        sort_octants=sort_octants, queue=queue, queue_avg=queue_avg,
     ).hit
 
 
@@ -492,11 +771,13 @@ def occluded_tiles_t(
     tile: int = R_TILE,
     dense_threshold: int = 8192,
     sort_octants: bool = False,
+    queue: bool = True,
+    queue_avg: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     res = intersect_tiles_t(
         cm, rays_o, rays_d, t_min=t_min, t_max=t_max, any_hit=True,
         k_cap=k_cap, tile=tile, dense_threshold=dense_threshold,
-        sort_octants=sort_octants,
+        sort_octants=sort_octants, queue=queue, queue_avg=queue_avg,
     )
     return res.hit.prim >= 0, res.uncertain
 
@@ -511,8 +792,11 @@ def occluded_tiles(
     tile: int = R_TILE,
     dense_threshold: int = 8192,
     sort_octants: bool = False,
+    queue: bool = True,
+    queue_avg: int = 64,
 ) -> jnp.ndarray:
     return occluded_tiles_t(
         cm, rays_o, rays_d, t_max, t_min=t_min, k_cap=k_cap, tile=tile,
         dense_threshold=dense_threshold, sort_octants=sort_octants,
+        queue=queue, queue_avg=queue_avg,
     )[0]

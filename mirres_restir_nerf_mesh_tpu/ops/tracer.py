@@ -83,7 +83,10 @@ class Tracer:
                     cm, ro, rd, t_min=t_min, t_max=tm,
                     k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
                     tile=self.tile, dense_threshold=self.dense_threshold,
-                    sort_octants=incoherent,
+                    # global (octant, origin-morton) reorder: ~2.9x over the
+                    # block-local octant sort on scattered-origin batches and
+                    # exact at the same budget (measured r3, v5e)
+                    sort_octants="morton" if incoherent else False,
                 )
 
             if self.mesh is not None:
@@ -111,7 +114,7 @@ class Tracer:
                     cm, ro, rd, tm, t_min=t_min,
                     k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
                     tile=self.tile, dense_threshold=self.dense_threshold,
-                    sort_octants=incoherent,
+                    sort_octants="morton" if incoherent else False,
                 )
 
             if self.mesh is not None:

@@ -114,8 +114,6 @@ def initial_resampling(
     k_tile, k_off, k_u, k_brdf, k_ub = jax.random.split(key, 5)
 
     tile_id = jax.random.randint(k_tile, (P,), 0, T)
-    offset = jax.random.randint(k_off, (P,), 0, S)
-    stride = 1 + 2 * jax.random.randint(jax.random.fold_in(k_off, 1), (P,), 0, S // 2)
 
     ratio = n_brdf_samples / max(n_light_samples + n_brdf_samples, 1)
 
@@ -140,28 +138,57 @@ def initial_resampling(
             return (1.0 - ratio) * lpdf + ratio * bpdf
         return lpdf
 
-    # one wide-row gather table per sample (dir+Le+pdf packed; random row
-    # gathers cost ~the same regardless of width — CLAUDE.md cost model)
+    # Candidate fetch: random row gathers are latency-priced per ROW
+    # regardless of width (CLAUDE.md cost model), so the tile table is packed
+    # into blocks of n_light_samples consecutive samples and each pixel
+    # fetches its WHOLE candidate set with ONE wide-row gather (n*7 floats)
+    # — 32x fewer memory transactions than per-sample rows.  Tile samples
+    # are i.i.d. envmap draws, so an aligned block has the same distribution
+    # as the reference's offset+stride walk (InitialResampling.slang:175).
     table = jnp.concatenate(
         [tiles.dirs, tiles.le, tiles.pdf[..., None]], axis=-1
-    ).reshape(T * S, 7)
-    base = tile_id * S
+    )  # [T, S, 7]
+    n = n_light_samples
+    if n > 0 and S % n == 0:
+        blocks = table.reshape(T * (S // n), n * 7)
+        blk = jax.random.randint(k_off, (P,), 0, S // n)
+        rows = blocks[tile_id * (S // n) + blk].reshape(P, n, 7)  # [P,n,7]
 
-    def light_body(carry, i):
-        w_sum, M, sel_dir, sel_p, sel_valid = carry
-        idx = (offset + i * stride) % S
-        row = table[base + idx]
-        ldir, le, lpdf = row[:, 0:3], row[:, 3:6], row[:, 6]
-        p_hat = target_function(ctx, ldir, le)
-        src = mixed_source_pdf(ldir, lpdf)
-        w = jnp.where(src > 1e-12, p_hat / jnp.maximum(src, 1e-12), 0.0)
-        w_sum = w_sum + w
-        M = M + 1.0
-        pick = us[i] * w_sum < w
-        sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
-        sel_p = jnp.where(pick, p_hat, sel_p)
-        sel_valid = sel_valid | pick
-        return (w_sum, M, sel_dir, sel_p, sel_valid), None
+        def light_body(carry, i):
+            w_sum, M, sel_dir, sel_p, sel_valid = carry
+            row = rows[:, i]
+            ldir, le, lpdf = row[:, 0:3], row[:, 3:6], row[:, 6]
+            p_hat = target_function(ctx, ldir, le)
+            src = mixed_source_pdf(ldir, lpdf)
+            w = jnp.where(src > 1e-12, p_hat / jnp.maximum(src, 1e-12), 0.0)
+            w_sum = w_sum + w
+            M = M + 1.0
+            pick = us[i] * w_sum < w
+            sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
+            sel_p = jnp.where(pick, p_hat, sel_p)
+            sel_valid = sel_valid | pick
+            return (w_sum, M, sel_dir, sel_p, sel_valid), None
+    else:
+        flat = table.reshape(T * S, 7)
+        offset = jax.random.randint(k_off, (P,), 0, S)
+        stride = 1 + 2 * jax.random.randint(jax.random.fold_in(k_off, 1), (P,), 0, max(S // 2, 1))
+        base = tile_id * S
+
+        def light_body(carry, i):
+            w_sum, M, sel_dir, sel_p, sel_valid = carry
+            idx = (offset + i * stride) % S
+            row = flat[base + idx]
+            ldir, le, lpdf = row[:, 0:3], row[:, 3:6], row[:, 6]
+            p_hat = target_function(ctx, ldir, le)
+            src = mixed_source_pdf(ldir, lpdf)
+            w = jnp.where(src > 1e-12, p_hat / jnp.maximum(src, 1e-12), 0.0)
+            w_sum = w_sum + w
+            M = M + 1.0
+            pick = us[i] * w_sum < w
+            sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
+            sel_p = jnp.where(pick, p_hat, sel_p)
+            sel_valid = sel_valid | pick
+            return (w_sum, M, sel_dir, sel_p, sel_valid), None
 
     (w_sum, M, sel_dir, sel_p, sel_valid), _ = jax.lax.scan(
         light_body, (w_sum, M, sel_dir, sel_p, sel_valid),

@@ -130,7 +130,7 @@ def gt_scene():
             gb.position, nrm, gb.view_dir, gb.mask, kd, rough, metal, env,
             tracer=tracer,
         )
-        direct = out["image"]
+        direct = out["image_brdf"]
 
         def one_ind(k):
             return pathtracer.render_indirect(
