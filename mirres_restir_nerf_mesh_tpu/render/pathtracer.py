@@ -107,19 +107,25 @@ def sample_direct_mis(
     w_l = brdf.to_local(ldir, normal)
     bpdf_at_l = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
     mis_l = lpdf / jnp.maximum(lpdf + bpdf_at_l, 1e-12)
-    vis_l = ~tracer.occluded(position + normal * 1e-4, ldir, 1e9, incoherent=True)
-    Li_env = le * (mis_l * vis_l / jnp.maximum(lpdf, 1e-12))[:, None]
     ok_env = (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
+    vis_l = ~tracer.occluded(
+        position + normal * 1e-4, ldir,
+        jnp.where(ok_env & mask, 1e9, 0.0), incoherent=True,
+    )
+    Li_env = le * (mis_l * vis_l / jnp.maximum(lpdf, 1e-12))[:, None]
 
     # --- strategy B: BRDF sample toward env ---
     s = brdf.brdf_sample(k_brdf, w_view, kd, metallic, alpha)
     bdir = brdf.to_global(s.w_light_l, normal)
     lpdf_at_b = envlight.pdf_li(env_dist, bdir)
     mis_b = s.pdf / jnp.maximum(s.pdf + lpdf_at_b, 1e-12)
-    vis_b = ~tracer.occluded(position + normal * 1e-4, bdir, 1e9, incoherent=True)
+    ok_brdf = s.valid
+    vis_b = ~tracer.occluded(
+        position + normal * 1e-4, bdir,
+        jnp.where(ok_brdf & mask, 1e9, 0.0), incoherent=True,
+    )
     le_b = envlight.eval_le(env_tex, bdir)
     Li_brdf = le_b * (mis_b * vis_b / jnp.maximum(s.pdf, 1e-12))[:, None]
-    ok_brdf = s.valid
 
     # combine: both strategies contribute; we fold them into one LightSample
     # by picking one with probability 1/2 and doubling (keeps the per-pixel
@@ -191,8 +197,13 @@ def trace_bounce(
     sg = jax.lax.stop_gradient
     k_nee, k_next, k_mat = jax.random.split(key, 3)
 
-    # bounce directions span the hemisphere -> direction-incoherent budget
-    hit = tracer.intersect(state.origin, state.direction, incoherent=True)
+    # bounce directions span the hemisphere -> direction-incoherent budget;
+    # dead lanes trace with t_max=0 so the tile tracer drops them from
+    # candidate selection (dead tiles cost one no-op queue item)
+    hit = tracer.intersect(
+        state.origin, state.direction,
+        t_max=jnp.where(state.alive, 1e10, 0.0), incoherent=True,
+    )
     hit_mask = (hit.prim >= 0) & state.alive
     escape = state.alive & (hit.prim < 0)
 
@@ -231,8 +242,10 @@ def trace_bounce(
     f = brdf.brdf_eval(w_view, w_l, kd, metal, alpha, p_diff, p_spec)
     bpdf = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
     mis = lpdf / jnp.maximum(lpdf + bpdf, 1e-12)
-    vis = ~tracer.occluded(pos + nrm * 1e-4, ldir, 1e9, incoherent=True)
     nee_ok = hit_mask & (lpdf > 1e-12) & (w_l[:, 2] > 1e-6)
+    vis = ~tracer.occluded(
+        pos + nrm * 1e-4, ldir, jnp.where(nee_ok, 1e9, 0.0), incoherent=True
+    )
     nee = state.throughput * f * le * (mis * vis / jnp.maximum(lpdf, 1e-12))[:, None]
     nee_contrib = jnp.where(nee_ok[:, None], nee, 0.0)
 

@@ -213,7 +213,12 @@ def initial_resampling(
     sel_valid = sel_valid & ctx.mask
 
     if check_visibility and tracer is not None:
-        occ = tracer.occluded(ctx.position + ctx.normal * 1e-4, sel_dir, 1e9, incoherent=True)
+        # invalid winners trace with t_max=0: dead lanes are dropped from
+        # candidate selection (dead tiles cost one no-op queue item)
+        occ = tracer.occluded(
+            ctx.position + ctx.normal * 1e-4, sel_dir,
+            jnp.where(sel_valid, 1e9, 0.0), incoherent=True,
+        )
         sel_valid = sel_valid & ~occ
 
     W = jnp.where(
@@ -342,8 +347,28 @@ def spatial_resampling(
         return jnp.repeat(x, nn, axis=0)
 
     ctx_rep = PixelCtx(*(rep(getattr(ctx, f)) for f in ctx._fields))
-    n_ctx = PixelCtx(*(getattr(ctx, f)[nidx] for f in ctx._fields))
-    n_res = Reservoir(dir=res.dir[nidx], W=res.W[nidx], M=res.M[nidx], valid=res.valid[nidx])
+    # neighbor fetch: ONE wide-row gather of the packed (ctx, reservoir)
+    # record — random row gathers are latency-priced per ROW regardless of
+    # width (CLAUDE.md cost model), so 12 per-field gathers of [P*nn] rows
+    # (~30 ms at 327k) collapse into one (~3 ms)
+    packed = jnp.concatenate(
+        [
+            ctx.position, ctx.normal, ctx.view_dir, ctx.kd,
+            ctx.roughness[:, None], ctx.metallic[:, None],
+            ctx.mask.astype(jnp.float32)[:, None], ctx.depth[:, None],
+            res.dir, res.W[:, None], res.M[:, None],
+            res.valid.astype(jnp.float32)[:, None],
+        ]
+        + ([v_self.astype(jnp.float32)[:, None]] if v_self is not None else []),
+        axis=1,
+    )  # [P, 22(+1)]
+    g = packed[nidx]
+    n_ctx = PixelCtx(
+        position=g[:, 0:3], normal=g[:, 3:6], view_dir=g[:, 6:9],
+        kd=g[:, 9:12], roughness=g[:, 12], metallic=g[:, 13],
+        mask=g[:, 14] > 0.5, depth=g[:, 15],
+    )
+    n_res = Reservoir(dir=g[:, 16:19], W=g[:, 19], M=g[:, 20], valid=g[:, 21] > 0.5)
 
     ok_flat = (
         n_ctx.mask & n_res.valid & _valid_neighbor(ctx_rep, n_ctx.normal, n_ctx.depth)
@@ -365,17 +390,23 @@ def spatial_resampling(
             # direction to the canonical needs no rays — vis(x_c, dir_n) is
             # v_self[c] and vis(x_n, dir_c) is v_self[n].  t_max=0 makes the
             # tile tracer treat those lanes as dead (excluded from candidate
-            # frustums; fully-dead tiles skip every grid step).
+            # frustums; fully-dead tiles skip every grid step).  Pairs with
+            # an invalid neighbor (~ok_flat) never contribute either way and
+            # are deadened too.
             same = jnp.all(n_res.dir == rep(res.dir), axis=-1)  # [P*nn]
-            tmax_pair = jnp.where(same, 0.0, 1e9)
+            tmax_pair = jnp.where(same | ~ok_flat, 0.0, 1e9)
             occ2 = tracer.occluded(
                 origins, dirs, jnp.concatenate([tmax_pair, tmax_pair]),
                 incoherent=True,
             )
             vis_c = jnp.where(same, rep(v_self), ~occ2[: P * nn])
-            vis_n = jnp.where(same, v_self[nidx], ~occ2[P * nn :])
+            vis_n = jnp.where(same, g[:, 22] > 0.5, ~occ2[P * nn :])
         else:
-            occ2 = tracer.occluded(origins, dirs, 1e9, incoherent=True)
+            tmax_pair = jnp.where(ok_flat, 1e9, 0.0)
+            occ2 = tracer.occluded(
+                origins, dirs, jnp.concatenate([tmax_pair, tmax_pair]),
+                incoherent=True,
+            )
             vis_c = ~occ2[: P * nn]
             vis_n = ~occ2[P * nn :]
         q_cand_at_c = q_cand_at_c * vis_c
@@ -461,7 +492,11 @@ def evaluate_final_samples(
     if known_vis is not None:
         vis = known_vis.astype(jnp.float32)
     elif check_visibility and tracer is not None:
-        vis = (~tracer.occluded(ctx.position + ctx.normal * 1e-4, res.dir, 1e9, incoherent=True)).astype(jnp.float32)
+        ok_ = res.valid & ctx.mask
+        vis = (~tracer.occluded(
+            ctx.position + ctx.normal * 1e-4, res.dir,
+            jnp.where(ok_, 1e9, 0.0), incoherent=True,
+        )).astype(jnp.float32)
     le = envlight.eval_le(env_tex, res.dir)
     li = le * (jax.lax.stop_gradient(res.W) * vis)[:, None]
     ok = res.valid & ctx.mask

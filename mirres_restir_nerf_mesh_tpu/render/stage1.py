@@ -216,7 +216,9 @@ def render_stage1(
 
     # --- lighting ---
     env_tex = params.env if relight_env is None else relight_env
-    env_dist = envlight.build_distribution(jax.lax.stop_gradient(env_tex))
+    # O(1) quantile-table sampler, rebuilt on device every step (the env is
+    # trainable); replaces per-sample 2-level CDF inversion (~190 ns/sample)
+    env_dist = envlight.build_sampler(jax.lax.stop_gradient(env_tex))
     kd_shade = kd if albedo_scale is None else kd * albedo_scale[None, :]
 
     def material_fn(pts, stochastic_key=None):
@@ -252,24 +254,46 @@ def render_stage1(
             static.restir_tiles, static.restir_tile_size,
         )
 
-    # spp loop as lax.scan: ONE compiled body regardless of spp (the
-    # reference's per-spp Python pass loop re-dispatches ~10 kernels per spp,
-    # renderer_restir.py:314-471; here compile time and code are spp-invariant).
-    # Temporal reuse runs every iteration against the previous spp's reservoir
-    # (motion vectors are zero, renderer_restir.py:487); iteration 0 merges
-    # with an EMPTY reservoir (M=0), which is a no-op — equivalent to the
-    # reference's `if i > 0` gate without a separate first-iteration graph.
+    # spp structure: the only serial dependence across spp iterations is the
+    # temporal->spatial reservoir chain (iteration s's temporal reuse merges
+    # iteration s-1's post-spatial reservoir, renderer_restir.py:487 with
+    # zero motion vectors).  Initial RIS and the indirect bounces are
+    # independent of that chain, so they are BATCHED across all spp into
+    # single [spp*P] tracer launches (~9 ms fixed cost per tile-tracer
+    # launch measured on v5e; 4 spp x (initial vis + 2x bounce + 2x NEE)
+    # would pay it 20x, batched pays it 5x — and the merged batches
+    # morton-sort into denser, more coherent tiles).  The per-spp lax.scan
+    # keeps ONE compiled body for the serial math + cross-visibility part
+    # (the reference re-dispatches ~10 kernels per spp, :314-471).
+    # Iteration 0 merges with an EMPTY reservoir (M=0), a no-op — equivalent
+    # to the reference's `if i > 0` gate without a separate first graph.
     P = rays_o.shape[0]
+    SPP = static.spp
+
+    def tile_spp(x):
+        """[P,...] -> [SPP*P,...] (repeat per spp iteration)."""
+        return jnp.concatenate([x] * SPP, axis=0) if SPP > 1 else x
+
+    if static.use_restir:
+        # --- batched initial RIS for all spp (ONE winner-visibility trace) ---
+        ctx_b = restir_mod.PixelCtx(*(tile_spp(getattr(ctx, f)) for f in ctx._fields))
+        res_b = restir_mod.initial_resampling(
+            jax.random.fold_in(k_di, 1), ctx_b, tiles, sg(env_tex), env_dist,
+            tracer, static.restir_light_samples, static.restir_brdf_samples,
+        )
+        res_all = jax.tree.map(
+            lambda a: a.reshape((SPP,) + (P,) + a.shape[1:]), res_b
+        )
+        # pop the batch's telemetry HERE: left in the list it would become a
+        # scan constant and be re-counted every spp iteration
+        uncertain_primary = uncertain_primary + tracer.pop_telemetry()
 
     def spp_body(carry, s):
-        prev_res, prev_vis, acc_d, acc_s, acc_i, acc_u = carry
+        prev_res, prev_vis, acc_d, acc_s, acc_u = carry
         k_s = jax.random.fold_in(k_di, s)
         if static.use_restir:
             k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
-            res = restir_mod.initial_resampling(
-                k_i, ctx, tiles, sg(env_tex), env_dist, tracer,
-                static.restir_light_samples, static.restir_brdf_samples,
-            )
+            res = jax.tree.map(lambda a: a[s], res_all)
             # visibility threading (zero extra rays): initial RIS invalidated
             # occluded winners, so surviving ones are visible; prev_vis is the
             # previous iteration's final-winner visibility
@@ -309,22 +333,25 @@ def render_stage1(
         color_s, diff_s, spec_s = pathtracer.shade_direct(
             light, gb.mask, normal, gb.view_dir, kd_shade, rough, metal, env_bg
         )
-        ind_s = pathtracer.render_indirect(
-            jax.random.fold_in(k_ind, s), gb.mask, sg(xyzs), sg(normal),
-            gb.view_dir, sg(kd_shade), sg(rough), sg(metal),
-            tracer, sg(verts), tris, material_fn,
-            env_tex, env_dist, bounces=static.bounces,
-        )
         acc_u = acc_u + tracer.pop_telemetry()
-        return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s,
-                acc_i + ind_s, acc_u), None
+        return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s, acc_u), None
 
     zero = jnp.zeros((P, 3))
     carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero, zero,
-              zero, jnp.zeros((), jnp.float32))
-    (_, _, sum_d, sum_s, sum_i, sum_u), _ = jax.lax.scan(
+              jnp.zeros((), jnp.float32))
+    (_, _, sum_d, sum_s, sum_u), _ = jax.lax.scan(
         spp_body, carry0, jnp.arange(static.spp)
     )
+
+    # --- indirect bounces, batched across all spp (no-grad; each spp's rays
+    # draw independent randoms via the flat [SPP*P] shapes) ---
+    sum_i = pathtracer.render_indirect(
+        k_ind, tile_spp(gb.mask), tile_spp(sg(xyzs)), tile_spp(sg(normal)),
+        tile_spp(gb.view_dir), tile_spp(sg(kd_shade)), tile_spp(sg(rough)),
+        tile_spp(sg(metal)), tracer, sg(verts), tris, material_fn,
+        env_tex, env_dist, bounces=static.bounces,
+    ).reshape(SPP, P, 3).sum(axis=0)
+    sum_u = sum_u + tracer.pop_telemetry()
     uncertain_count = uncertain_primary + sum_u
     inv = 1.0 / float(static.spp)
     diffuse_light = sum_d * inv

@@ -154,3 +154,46 @@ def test_alias_table_matches_cdf_sampler():
 
     # directions are unit and valid
     assert np.allclose(np.linalg.norm(np.asarray(d_a), axis=1), 1.0, atol=1e-4)
+
+
+def test_quantile_sampler_self_consistent_and_unbiased():
+    """EnvSampler (device-built quantile table, the production TPU path):
+    (1) the MC env-integral estimate using its REPORTED pdf matches
+    quadrature (unbiasedness for the distribution actually sampled);
+    (2) per-texel sampling frequency matches the reported pdf;
+    (3) pdf_li dispatch agrees with the sampling pdf at sampled dirs."""
+    key = jax.random.PRNGKey(0)
+    H, W = 32, 64
+    tex = jax.random.uniform(key, (H, W, 3)) ** 4 * 5.0
+    s = envlight.build_sampler(tex, m=65536)
+
+    N = 400_000
+    rnd = jax.random.uniform(jax.random.PRNGKey(1), (N, 2))
+    d, le, pdf = envlight.sample_li(tex, s, rnd)
+    assert bool(jnp.all(pdf > 0))
+    est = np.asarray(jnp.mean(le / pdf[:, None], axis=0))
+
+    theta = (np.arange(H) + 0.5) / H * np.pi
+    sin_t = np.sin(theta)
+    texel_solid = (2 * np.pi / W) * (np.pi / H) * sin_t
+    ref = (np.asarray(tex) * texel_solid[:, None, None]).sum(axis=(0, 1))
+    np.testing.assert_allclose(est, ref, rtol=0.05)
+
+    # frequency consistency: count samples per texel vs count/m prediction
+    uv = envlight.dir_to_uv(envlight.ngp_dir(d))
+    col = np.clip((np.asarray(uv[:, 0]) * W).astype(int), 0, W - 1)
+    row = np.clip(((1.0 - np.asarray(uv[:, 1])) * H).astype(int), 0, H - 1)
+    freq = np.zeros((H, W))
+    np.add.at(freq, (row, col), 1.0 / N)
+    m = s.table.shape[0]
+    cnt = np.zeros(H * W)
+    np.add.at(cnt, np.asarray(s.table), 1.0 / m)
+    pred = cnt.reshape(H, W)
+    # texels with >= ~1200 expected samples (Poisson sigma ~3%): 0.2 rtol
+    # is then > 6 sigma — fails on systematic error, not noise
+    big = pred > 200.0 / m
+    np.testing.assert_allclose(freq[big], pred[big], rtol=0.2)
+
+    pdf2 = envlight.pdf_li(s, d)
+    ratio = np.asarray(pdf2 / jnp.maximum(pdf, 1e-12))
+    assert np.median(np.abs(ratio - 1.0)) < 0.05
