@@ -11,6 +11,12 @@ Operating point (honest, per VERDICT r1): 256x256 pixels, spp 4, 2 bounces,
 tiles (128 x 1024).  Reported value is the median of 5 timed frames; each
 frame is forced to completion with a scalar fetch (block_until_ready does
 not block through the axon tunnel).
+
+The environment is a realistic sky+sun HDR (bright sun disk, sky gradient,
+ground bounce) — the workload the reference trains on (real HDRIs /
+TensoIR envs).  A constant envmap would spread ReSTIR winner directions
+and NEE samples uniformly over the sphere, a direction distribution no
+trained or real environment produces.
 """
 
 from __future__ import annotations
@@ -45,7 +51,6 @@ def main() -> None:
     from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
     from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec, init_material
     from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
-    from mirres_restir_nerf_mesh_tpu.models.envlight import init_envlight
     from mirres_restir_nerf_mesh_tpu.render.stage1 import (
         Stage1Params,
         Stage1Static,
@@ -84,11 +89,18 @@ def main() -> None:
         denoise_iters=4,
     )
     key = jax.random.PRNGKey(0)
+    # sky+sun env: cosine-graded sky, 60x sun disk, warm ground
+    eh, ew = 64, 128
+    theta = (np.arange(eh) + 0.5) / eh * np.pi
+    sky = np.clip(np.cos(theta), 0, None)[:, None] ** 1.5
+    env_np = np.tile((0.08 + 0.5 * sky)[:, :, None], (1, ew, 3)).astype(np.float32)
+    env_np[6:9, 30:34] = [60.0, 55.0, 45.0]
+    env_np[eh - 10:] *= [1.15, 0.9, 0.7]
     params = Stage1Params(
         nerf=init_nerf(key, nerf_spec),
         offsets=jnp.zeros((verts.shape[0], 3)),
         mat=init_material(key, mat_spec),
-        env=init_envlight(64, 128),
+        env=jnp.asarray(env_np),
     )
     bv = jnp.asarray(verts)
 

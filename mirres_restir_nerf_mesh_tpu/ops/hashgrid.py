@@ -60,6 +60,47 @@ def _gather_rows_bwd(offset, size, res, g):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_multi(emb: jnp.ndarray, idx: jnp.ndarray, levels):
+    """ALL levels' table gathers as ONE gather op.
+
+    Separate per-level gathers pay ~1.5 ms of per-op overhead each on v5e
+    (measured: 13 gathers of 262k rows = 33.8 ms, one combined 13x262k
+    gather = 14.7 ms); the forward combines every level's ABSOLUTE row ids
+    into idx [N, K] and issues a single take.  The backward still runs the
+    MXU one-hot scatter PER LEVEL (its [NC, table_rows/128] one-hot must
+    fit VMEM, so it needs the small per-level range), driven by `levels`:
+    a static tuple of (col0, col1, offset, size) column groups."""
+    return jnp.take(emb, idx, axis=0)
+
+
+def _grm_fwd(emb, idx, levels):
+    return jnp.take(emb, idx, axis=0), (idx, emb.shape[0])
+
+
+def _grm_bwd(levels, res, g):
+    idx, n_rows = res
+    C = g.shape[-1]
+    if jax.default_backend() == "cpu":
+        full = jnp.zeros((n_rows, C), g.dtype).at[idx.reshape(-1)].add(
+            g.reshape(-1, C)
+        )
+        return (full, None)
+    from .pallas_scatter import pallas_scatter_add
+
+    full = jnp.zeros((n_rows, C), g.dtype)
+    for (c0, c1, off, size) in levels:
+        local = pallas_scatter_add(
+            (idx[:, c0:c1].reshape(-1) - off).astype(jnp.int32),
+            g[:, c0:c1].reshape(-1, C), size, C,
+        )
+        full = jax.lax.dynamic_update_slice(full, local, (off, 0))
+    return (full, None)
+
+
+_gather_rows_multi.defvjp(_grm_fwd, _grm_bwd)
+
+
 @dataclass(frozen=True)
 class HashGridSpec:
     """Static metadata for a hash-grid encoder instance."""
@@ -258,30 +299,105 @@ def hashgrid_encode(
         # fracs differ, so corners decorrelate across levels anyway)
         u = jax.random.uniform(stochastic_key, x01.shape)
 
-    outs = []
+    corners = jnp.asarray(_CORNERS, dtype=jnp.uint32)
+    primes = jnp.asarray(_PRIMES)
+    N = x01.shape[0]
+
+    # gather batching: every level that goes through the table-row path
+    # contributes its ABSOLUTE row ids to ONE combined gather
+    # (_gather_rows_multi) — per-level gathers pay ~1.5 ms of fixed per-op
+    # cost each on v5e.  Dense packed-corner levels keep their own (already
+    # single-gather) fast path.
+    feats: list = [None] * spec.num_levels
+    m_cols = []          # index columns [N, k] per batched level
+    m_meta = []          # (c0, c1, offset, size) per batched level
+    m_weight = []        # per batched level: corner weights [N, k] or None
+    m_lvl = []
+    col = 0
+
     for lvl in range(spec.num_levels):
+        scale = float(scales[lvl])
+        resolution = int(resolutions[lvl])
+        offset = int(offsets[lvl])
+        size = int(offsets[lvl + 1] - offsets[lvl])
+        is_dense = bool(dense[lvl])
+
+        pos = x01 * scale + 0.5
+        pg = jnp.floor(pos)
+        frac = pos - pg
+
         if stochastic_key is not None:
-            feat = _level_lookup_stochastic(
-                embeddings,
-                x01,
-                u,
-                float(scales[lvl]),
-                int(resolutions[lvl]),
-                int(offsets[lvl]),
-                int(offsets[lvl + 1] - offsets[lvl]),
-                bool(dense[lvl]),
-            )
-        else:
-            feat = _level_lookup(
-                embeddings,
-                x01,
-                float(scales[lvl]),
-                int(resolutions[lvl]),
-                int(offsets[lvl]),
-                int(offsets[lvl + 1] - offsets[lvl]),
-                bool(dense[lvl]),
+            corner = (u < frac).astype(jnp.uint32)
+            pgc = pg.astype(jnp.uint32) + corner  # [N,3]
+            if is_dense:
+                stride = resolution + 1
+                idx = (
+                    pgc[..., 0]
+                    + pgc[..., 1] * jnp.uint32(stride)
+                    + pgc[..., 2] * jnp.uint32(stride * stride)
+                )
+            else:
+                idx = (
+                    (pgc[..., 0] * primes[0])
+                    ^ (pgc[..., 1] * primes[1])
+                    ^ (pgc[..., 2] * primes[2])
+                )
+            idx = (idx % jnp.uint32(size)).astype(jnp.int32)
+            m_cols.append(idx[:, None] + offset)
+            m_meta.append((col, col + 1, offset, size))
+            m_weight.append(None)
+            m_lvl.append(lvl)
+            col += 1
+            continue
+
+        if smoothstep:
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        R1 = resolution + 1
+        w = jnp.where(
+            corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :]
+        )
+        w = w[..., 0] * w[..., 1] * w[..., 2]  # [N,8]
+
+        if is_dense and size >= R1 * R1 * R1:
+            feats[lvl] = _level_lookup(
+                embeddings, x01, scale, resolution, offset, size, True,
                 smoothstep,
             )
+            continue
+
+        pgc = pg.astype(jnp.uint32)[:, None, :] + corners[None, :, :]  # [N,8,3]
+        if is_dense:
+            idx = (
+                pgc[..., 0]
+                + pgc[..., 1] * jnp.uint32(R1)
+                + pgc[..., 2] * jnp.uint32(R1 * R1)
+            )
+        else:
+            idx = (
+                (pgc[..., 0] * primes[0])
+                ^ (pgc[..., 1] * primes[1])
+                ^ (pgc[..., 2] * primes[2])
+            )
+        idx = (idx % jnp.uint32(size)).astype(jnp.int32)
+        m_cols.append(idx + offset)
+        m_meta.append((col, col + 8, offset, size))
+        m_weight.append(w)
+        m_lvl.append(lvl)
+        col += 8
+
+    if m_cols:
+        idx_cat = jnp.concatenate(m_cols, axis=1)  # [N, col]
+        vals = _gather_rows_multi(embeddings, idx_cat, tuple(m_meta))
+        for (c0, c1, _, _), w, lvl in zip(m_meta, m_weight, m_lvl):
+            v = vals[:, c0:c1]
+            if w is None:
+                feats[lvl] = v[:, 0]
+            else:
+                feats[lvl] = jnp.sum(v * w[..., None], axis=1)
+
+    outs = []
+    for lvl in range(spec.num_levels):
+        feat = feats[lvl]
         if max_level is not None:
             feat = feat * (lvl < max_level).astype(feat.dtype)
         outs.append(feat)

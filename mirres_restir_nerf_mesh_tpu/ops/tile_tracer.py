@@ -593,6 +593,10 @@ def tile_trace(
                 ((rays_o - lo) / jnp.maximum(hi - lo, 1e-6) * 32.0).astype(jnp.int32),
                 0, 31,
             )
+            # (octant, origin-cell) is the measured optimum: finer
+            # direction-major keys (sub-octant bits) scatter origins across
+            # tiles and the origin-box growth swamps the direction-box win
+            # (measured 2x WORSE on uniform-sphere batches, r3 v5e)
             key = oct_id * (1 << 15) + morton3d(cell).astype(jnp.int32)
         else:
             blk = jnp.arange(N, dtype=jnp.int32) // sort_block

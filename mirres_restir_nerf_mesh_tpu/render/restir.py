@@ -394,12 +394,45 @@ def spatial_resampling(
             # an invalid neighbor (~ok_flat) never contribute either way and
             # are deadened too.
             same = jnp.all(n_res.dir == rep(res.dir), axis=-1)  # [P*nn]
-            tmax_pair = jnp.where(same | ~ok_flat, 0.0, 1e9)
+            # neighbor-slot dedup: once ReSTIR propagates winners, several of
+            # a pixel's neighbors often carry the SAME direction — the ray
+            # vis(x_c, dir) is identical, so only the first valid slot
+            # traces; later twins are deadened (t_max=0) and copy its result
+            dirs_nb = n_res.dir.reshape(P, nn, 3)
+            same2 = same.reshape(P, nn)
+            okf2 = ok_flat.reshape(P, nn)
+            src_ok = same2 | okf2  # slots whose vis_c value will be valid
+            dup = jnp.zeros((P, nn), bool)
+            for j in range(1, nn):
+                dj = jnp.zeros((P,), bool)
+                for i in range(j):
+                    dj = dj | (
+                        jnp.all(dirs_nb[:, j] == dirs_nb[:, i], axis=-1)
+                        & src_ok[:, i]
+                    )
+                dup = dup.at[:, j].set(dj & ~same2[:, j])
+            # the dup dedup applies ONLY to the canonical-origin half (the
+            # neighbor-origin rays vis(x_n, dir_c) have distinct origins).
+            # Lanes whose pre-visibility target is already zero (backfacing
+            # at the evaluation domain) contribute zero either way — dead.
+            tmax_c = jnp.where(
+                same | ~ok_flat | dup.reshape(-1) | (q_cand_at_c <= 0), 0.0, 1e9
+            )
+            tmax_n = jnp.where(same | ~ok_flat | (q_canon_at_n <= 0), 0.0, 1e9)
             occ2 = tracer.occluded(
-                origins, dirs, jnp.concatenate([tmax_pair, tmax_pair]),
+                origins, dirs, jnp.concatenate([tmax_c, tmax_n]),
                 incoherent=True,
             )
             vis_c = jnp.where(same, rep(v_self), ~occ2[: P * nn])
+            vc2 = vis_c.reshape(P, nn)
+            for j in range(1, nn):
+                for i in range(j):
+                    m = (
+                        jnp.all(dirs_nb[:, j] == dirs_nb[:, i], axis=-1)
+                        & dup[:, j] & src_ok[:, i]
+                    )
+                    vc2 = vc2.at[:, j].set(jnp.where(m, vc2[:, i], vc2[:, j]))
+            vis_c = vc2.reshape(-1)
             vis_n = jnp.where(same, g[:, 22] > 0.5, ~occ2[P * nn :])
         else:
             tmax_pair = jnp.where(ok_flat, 1e9, 0.0)
