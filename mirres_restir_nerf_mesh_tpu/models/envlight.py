@@ -83,6 +83,24 @@ def eval_le(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(sin_theta[..., None] < 1e-4, 0.0, le)
 
 
+def eval_le_nearest(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-texel radiance lookup: ONE row gather instead of bilinear's
+    four.  Used ONLY inside resampling target functions (p-hat) — RIS/GRIS
+    is unbiased for ANY target function evaluated consistently within a
+    pass, so the cheaper lookup changes variance (negligibly at envmap
+    resolutions) but never the estimator's expectation.  Radiance that
+    reaches the image (evaluate_final_samples, escape hits, backgrounds)
+    keeps the differentiable bilinear eval_le."""
+    H, W = tex.shape[0], tex.shape[1]
+    d = ngp_dir(dir_world)
+    uv = dir_to_uv(d)
+    x = jnp.mod((uv[..., 0] * W).astype(jnp.int32), W)
+    y = jnp.clip(((1.0 - uv[..., 1]) * H).astype(jnp.int32), 0, H - 1)
+    le = tex.reshape(H * W, -1)[y * W + x]
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 0.0))
+    return jnp.where(sin_theta[..., None] < 1e-4, 0.0, le)
+
+
 class EnvDistribution(NamedTuple):
     pdf2d: jnp.ndarray       # [H, W] conditional pdf over u per row (normalized, mean 1)
     row_cdf: jnp.ndarray     # [H, W+1]

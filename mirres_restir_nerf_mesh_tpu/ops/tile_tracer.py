@@ -584,6 +584,11 @@ def tile_trace(
             + 2 * (rays_d[:, 1] > 0).astype(jnp.int32)
             + 4 * (rays_d[:, 2] > 0).astype(jnp.int32)
         )
+        # dead-lane compaction: rays deadened upstream (t_max <= 0: masked
+        # pixels, visibility-threaded/deduped lanes) sort to the TAIL so they
+        # fill all-dead tiles (zero candidates, ~1 no-op queue item each)
+        # instead of diluting live tiles' frustums
+        dead = t_max_arr <= 0.0
         if sort_octants == "morton":
             from .morton import morton3d
 
@@ -598,9 +603,10 @@ def tile_trace(
             # tiles and the origin-box growth swamps the direction-box win
             # (measured 2x WORSE on uniform-sphere batches, r3 v5e)
             key = oct_id * (1 << 15) + morton3d(cell).astype(jnp.int32)
+            key = jnp.where(dead, jnp.int32(1) << 23, key)
         else:
             blk = jnp.arange(N, dtype=jnp.int32) // sort_block
-            key = blk * 8 + oct_id
+            key = blk * 16 + jnp.where(dead, 8, oct_id)
         _, perm = jax.lax.sort_key_val(key, jnp.arange(N, dtype=jnp.int32))
         rays_o = rays_o[perm]
         rays_d = rays_d[perm]

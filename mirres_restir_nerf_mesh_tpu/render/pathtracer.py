@@ -212,11 +212,22 @@ def trace_bounce(
     le_escape = envlight.eval_le(env_tex, state.direction)
     escape_contrib = jnp.where(escape[:, None], state.throughput * le_escape, 0.0)
 
-    # surface attributes at the hit
+    # surface attributes at the hit: ONE wide-row gather of the per-face
+    # packed corner table (random row gathers are latency-priced per ROW
+    # regardless of width — 6 gathers of [N] rows collapse into 1)
     face = jnp.where(hit_mask, hit.prim, 0)
-    i0, i1, i2 = tris[face, 0], tris[face, 1], tris[face, 2]
+    if isinstance(verts, tuple):
+        vface = verts[1][face]  # [N,9] prebuilt (render_indirect)
+    else:
+        vf = jnp.concatenate(
+            [verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]], axis=1
+        )
+        vface = vf[face]
     w = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
-    pos = w[:, 0:1] * verts[i0] + w[:, 1:2] * verts[i1] + w[:, 2:3] * verts[i2]
+    pos = (
+        w[:, 0:1] * vface[:, 0:3] + w[:, 1:2] * vface[:, 3:6]
+        + w[:, 2:3] * vface[:, 6:9]
+    )
     nrm = safe_normalize(hit.normal)
     # face the incoming ray
     nrm = jnp.where(
@@ -295,10 +306,18 @@ def render_indirect(
 
     total = jnp.zeros_like(position)
     env_tex_ng = sg(env_tex)
+    # per-face packed corner table, built once for all bounces (3 gathers at
+    # [F] rows here instead of 6 gathers at [N] rows per bounce)
+    vpack = (
+        verts,
+        jnp.concatenate(
+            [verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]], axis=1
+        ),
+    )
     for b in range(bounces):
         key, kb = jax.random.split(key)
         escape_c, nee_c, state, _ = trace_bounce(
-            kb, state, tracer, verts, tris, material_fn, env_tex_ng, env_dist
+            kb, state, tracer, vpack, tris, material_fn, env_tex_ng, env_dist
         )
         # segment-0 escapes are direct light at the primary hit — already
         # covered by the DI estimator's BRDF strategy; dropping them here

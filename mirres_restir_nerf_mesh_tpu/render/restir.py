@@ -199,7 +199,7 @@ def initial_resampling(
         kb = jax.random.fold_in(k_brdf, j)
         s = brdf.brdf_sample(kb, w_view, ctx.kd, ctx.metallic, alpha)
         ldir = brdf.to_global(s.w_light_l, ctx.normal)
-        le = envlight.eval_le(env_tex, ldir)
+        le = envlight.eval_le_nearest(env_tex, ldir)
         p_hat = jnp.where(s.valid, target_function(ctx, ldir, le), 0.0)
         src = mixed_source_pdf(ldir, envlight.pdf_li(dist, ldir))
         w = jnp.where(s.valid & (src > 1e-12), p_hat / jnp.maximum(src, 1e-12), 0.0)
@@ -258,9 +258,10 @@ def temporal_resampling(
     ok = prev.valid & _valid_neighbor(ctx, prev_normal, prev_depth)
     prev_M = jnp.where(ok, jnp.minimum(prev.M, max_history * jnp.maximum(curr.M, 1.0)), 0.0)
 
-    # stream current then previous through a reservoir (res.slang:115-134)
-    p_curr = jnp.where(curr.valid, target_function(ctx, curr.dir, envlight.eval_le(env_tex, curr.dir)), 0.0)
-    p_prev = jnp.where(ok, target_function(ctx, prev.dir, envlight.eval_le(env_tex, prev.dir)), 0.0)
+    # stream current then previous through a reservoir (res.slang:115-134);
+    # nearest-texel Le in the target function (see eval_le_nearest)
+    p_curr = jnp.where(curr.valid, target_function(ctx, curr.dir, envlight.eval_le_nearest(env_tex, curr.dir)), 0.0)
+    p_prev = jnp.where(ok, target_function(ctx, prev.dir, envlight.eval_le_nearest(env_tex, prev.dir)), 0.0)
 
     w_curr = p_curr * curr.W * curr.M
     w_prev = p_prev * prev.W * prev_M
@@ -332,9 +333,16 @@ def spatial_resampling(
 
     start = jax.random.randint(k_off, (P,), 0, offsets.shape[0])
 
-    # canonical target pdf
-    le_c = envlight.eval_le(env_tex, res.dir)
+    # canonical target pdf (nearest-texel Le: see eval_le_nearest)
+    le_c = envlight.eval_le_nearest(env_tex, res.dir)
     p_canon = jnp.where(res.valid, target_function(ctx, res.dir, le_c), 0.0)
+
+    if nn <= 0:
+        # no neighbors: spatial reuse is the identity (the reference loop
+        # body never runs); visibility threading passes straight through
+        if v_self is not None and unbiased and tracer is not None:
+            return res, v_self
+        return res
 
     # --- gather ALL neighbors up front (vectorized over the neighbor axis) ---
     offs = offsets[(start[:, None] + jnp.arange(nn)[None, :]) % offsets.shape[0]]  # [P,nn,2]
@@ -374,7 +382,7 @@ def spatial_resampling(
         n_ctx.mask & n_res.valid & _valid_neighbor(ctx_rep, n_ctx.normal, n_ctx.depth)
     )  # [P*nn]
 
-    le_n = envlight.eval_le(env_tex, n_res.dir)
+    le_n = envlight.eval_le_nearest(env_tex, n_res.dir)
     q_cand = target_function(n_ctx, n_res.dir, le_n)
     q_cand_at_c = target_function(ctx_rep, n_res.dir, le_n)
     q_canon_at_n = target_function(n_ctx, rep(res.dir), rep(le_c))
