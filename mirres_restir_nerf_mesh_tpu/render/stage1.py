@@ -275,18 +275,49 @@ def render_stage1(
         return jnp.concatenate([x] * SPP, axis=0) if SPP > 1 else x
 
     if static.use_restir:
-        # --- batched initial RIS for all spp (ONE winner-visibility trace) ---
+        # --- batched initial RIS for all spp; the winner-visibility rays are
+        # FUSED into the indirect pass's first NEE launch below (both are
+        # ready before the spp chain starts — one tracer call, denser tiles)
         ctx_b = restir_mod.PixelCtx(*(tile_spp(getattr(ctx, f)) for f in ctx._fields))
-        res_b = restir_mod.initial_resampling(
+        res0_b = restir_mod.initial_resampling(
             jax.random.fold_in(k_di, 1), ctx_b, tiles, sg(env_tex), env_dist,
-            tracer, static.restir_light_samples, static.restir_brdf_samples,
+            tracer=None, n_light_samples=static.restir_light_samples,
+            n_brdf_samples=static.restir_brdf_samples, check_visibility=False,
+        )
+        init_occ_rays = (
+            ctx_b.position + ctx_b.normal * 1e-4,
+            res0_b.dir,
+            jnp.where(res0_b.valid, 1e9, 0.0),
+        )
+
+    # --- indirect bounces, batched across all spp (no-grad; each spp's rays
+    # draw independent randoms via the flat [SPP*P] shapes); runs BEFORE the
+    # spp chain so the initial-RIS visibility rays ride its first launch ---
+    ind_out = pathtracer.render_indirect(
+        k_ind, tile_spp(gb.mask), tile_spp(sg(xyzs)), tile_spp(sg(normal)),
+        tile_spp(gb.view_dir), tile_spp(sg(kd_shade)), tile_spp(sg(rough)),
+        tile_spp(sg(metal)), tracer, sg(verts), tris, material_fn,
+        env_tex, env_dist, bounces=static.bounces,
+        extra_occ=init_occ_rays if static.use_restir else None,
+    )
+    if static.use_restir:
+        sum_i_b, init_occ = ind_out
+        # apply the fused winner visibility: an occluded winner is exactly a
+        # zeroed/invalidated reservoir (same algebra as the in-pass check —
+        # W was already final, visibility only gates it)
+        res_b = res0_b._replace(
+            W=jnp.where(init_occ, 0.0, res0_b.W),
+            valid=res0_b.valid & ~init_occ,
         )
         res_all = jax.tree.map(
             lambda a: a.reshape((SPP,) + (P,) + a.shape[1:]), res_b
         )
-        # pop the batch's telemetry HERE: left in the list it would become a
-        # scan constant and be re-counted every spp iteration
-        uncertain_primary = uncertain_primary + tracer.pop_telemetry()
+    else:
+        sum_i_b = ind_out
+    sum_i = sum_i_b.reshape(SPP, P, 3).sum(axis=0)
+    # pop the traces' telemetry HERE: left in the list it would become a
+    # scan constant and be re-counted every spp iteration
+    uncertain_primary = uncertain_primary + tracer.pop_telemetry()
 
     def spp_body(carry, s):
         prev_res, prev_vis, acc_d, acc_s, acc_u = carry
@@ -342,16 +373,6 @@ def render_stage1(
     (_, _, sum_d, sum_s, sum_u), _ = jax.lax.scan(
         spp_body, carry0, jnp.arange(static.spp)
     )
-
-    # --- indirect bounces, batched across all spp (no-grad; each spp's rays
-    # draw independent randoms via the flat [SPP*P] shapes) ---
-    sum_i = pathtracer.render_indirect(
-        k_ind, tile_spp(gb.mask), tile_spp(sg(xyzs)), tile_spp(sg(normal)),
-        tile_spp(gb.view_dir), tile_spp(sg(kd_shade)), tile_spp(sg(rough)),
-        tile_spp(sg(metal)), tracer, sg(verts), tris, material_fn,
-        env_tex, env_dist, bounces=static.bounces,
-    ).reshape(SPP, P, 3).sum(axis=0)
-    sum_u = sum_u + tracer.pop_telemetry()
     uncertain_count = uncertain_primary + sum_u
     inv = 1.0 / float(static.spp)
     diffuse_light = sum_d * inv
