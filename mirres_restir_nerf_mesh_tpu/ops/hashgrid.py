@@ -305,15 +305,21 @@ def hashgrid_encode(
 
     # gather batching: every level that goes through the table-row path
     # contributes its ABSOLUTE row ids to ONE combined gather
-    # (_gather_rows_multi) — per-level gathers pay ~1.5 ms of fixed per-op
-    # cost each on v5e.  Dense packed-corner levels keep their own (already
-    # single-gather) fast path.
+    # (_gather_rows_multi), and every dense packed-corner level contributes
+    # its cell id to ONE combined gather over the stacked packed tables —
+    # per-level gathers pay ~1.5 ms of fixed per-op cost each on v5e, so a
+    # 16-level encode collapses from ~6 ops to 2.
     feats: list = [None] * spec.num_levels
     m_cols = []          # index columns [N, k] per batched level
     m_meta = []          # (c0, c1, offset, size) per batched level
     m_weight = []        # per batched level: corner weights [N, k] or None
     m_lvl = []
     col = 0
+    d_tabs = []          # packed [res^3, 8C] per dense level
+    d_idx = []           # cell ids [N] per dense level (with row offset)
+    d_weight = []        # trilinear corner weights [N,8] per dense level
+    d_lvl = []
+    d_rows = 0
 
     for lvl in range(spec.num_levels):
         scale = float(scales[lvl])
@@ -359,10 +365,30 @@ def hashgrid_encode(
         w = w[..., 0] * w[..., 1] * w[..., 2]  # [N,8]
 
         if is_dense and size >= R1 * R1 * R1:
-            feats[lvl] = _level_lookup(
-                embeddings, x01, scale, resolution, offset, size, True,
-                smoothstep,
-            )
+            # packed-corner level: cell rows carry all 8 corner features
+            # (same packing as _level_lookup's fast path), stacked with the
+            # other dense levels' tables for one combined gather below
+            C = embeddings.shape[-1]
+            lvl_tab = jax.lax.dynamic_slice(embeddings, (offset, 0), (size, C))
+            grid = lvl_tab[: R1 * R1 * R1].reshape(R1, R1, R1, C)
+            res = resolution
+            packed = jnp.concatenate(
+                [
+                    grid[cx : cx + res, cy : cy + res, cz : cz + res]
+                    for (cx, cy, cz) in _CORNERS
+                ],
+                axis=-1,
+            ).reshape(res * res * res, 8 * C)
+            pgc0 = jnp.minimum(pg.astype(jnp.uint32), jnp.uint32(res - 1))
+            cid = (
+                pgc0[:, 0] + pgc0[:, 1] * jnp.uint32(res)
+                + pgc0[:, 2] * jnp.uint32(res * res)
+            ).astype(jnp.int32)
+            d_tabs.append(packed)
+            d_idx.append(cid + d_rows)
+            d_weight.append(w)
+            d_lvl.append(lvl)
+            d_rows += res * res * res
             continue
 
         pgc = pg.astype(jnp.uint32)[:, None, :] + corners[None, :, :]  # [N,8,3]
@@ -394,6 +420,17 @@ def hashgrid_encode(
                 feats[lvl] = v[:, 0]
             else:
                 feats[lvl] = jnp.sum(v * w[..., None], axis=1)
+
+    if d_tabs:
+        C = embeddings.shape[-1]
+        stacked = d_tabs[0] if len(d_tabs) == 1 else jnp.concatenate(d_tabs, axis=0)
+        dvals = jnp.take(
+            stacked, jnp.stack(d_idx, axis=1), axis=0
+        )  # [N, nd, 8C]; plain autodiff: bwd = scatter-add into the packed
+        #    tables, whose transpose routes back through the slicing
+        for j, (w, lvl) in enumerate(zip(d_weight, d_lvl)):
+            v = dvals[:, j].reshape(N, 8, C)
+            feats[lvl] = jnp.sum(v * w[..., None], axis=1)
 
     outs = []
     for lvl in range(spec.num_levels):
