@@ -75,11 +75,39 @@ def _bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 
 def eval_le(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
-    """Environment radiance for world directions [..., 3]."""
+    """Environment radiance for world directions [..., 3].
+
+    Bilinear via a packed-quad table: each texel row carries its own rgb
+    plus the x+1 (wrapped), y+1 (clamped) and xy neighbors, so the lookup
+    is ONE wide-row gather instead of four (row gathers are latency-priced
+    per row, not per byte — CLAUDE.md cost model).  Packing is a cheap
+    roll/concat whose autodiff transpose scatter-adds the four
+    contributions back, so env gradients are identical to the 4-gather
+    bilinear."""
+    H, W, C = tex.shape
     d = ngp_dir(dir_world)
     uv = dir_to_uv(d)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 0.0))
-    le = _bilinear(tex, uv)
+
+    tx = jnp.roll(tex, -1, axis=1)                      # x+1 (wraps)
+    ty = jnp.concatenate([tex[1:], tex[-1:]], axis=0)   # y+1 (clamps)
+    txy = jnp.roll(ty, -1, axis=1)
+    packed = jnp.concatenate([tex, tx, ty, txy], axis=-1).reshape(H * W, 4 * C)
+
+    x = uv[..., 0] * W - 0.5
+    y = (1.0 - uv[..., 1]) * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    # top edge (y0 < 0): both bilinear rows clamp to row 0; the packed row 0
+    # carries (row0, row1) so force fy=0 to reproduce the pure-row-0 mix
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    xi = jnp.mod(x0.astype(jnp.int32), W)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    q = packed[yi * W + xi]
+    c00, c10 = q[..., 0:C], q[..., C:2 * C]
+    c01, c11 = q[..., 2 * C:3 * C], q[..., 3 * C:4 * C]
+    le = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
     return jnp.where(sin_theta[..., None] < 1e-4, 0.0, le)
 
 

@@ -74,19 +74,26 @@ class Tracer:
         )(self.accel, rays_o, rays_d, t_max_arr)
 
     def intersect(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray, t_min: float = 1e-4,
-                  t_max=1e10, incoherent: bool = False) -> HitResult:
+                  t_max=1e10, incoherent: bool = False, sort=None) -> HitResult:
+        """sort: override the ray-reorder key (None = policy default:
+        "morton" for incoherent batches, no sort for coherent ones).  Pass
+        "morton_dir2" for direction-CONCENTRATED incoherent batches (ReSTIR
+        winner visibility, env-importance NEE shadows)."""
         if self.kind == "tile":
             from . import tile_tracer
+
+            if sort is None:
+                # global (octant, origin-morton) reorder: ~2.9x over the
+                # block-local octant sort on scattered-origin batches and
+                # exact at the same budget (measured r3, v5e)
+                sort = "morton" if incoherent else False
 
             def run(cm, ro, rd, tm):
                 return tile_tracer.intersect_tiles_t(
                     cm, ro, rd, t_min=t_min, t_max=tm,
                     k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
                     tile=self.tile, dense_threshold=self.dense_threshold,
-                    # global (octant, origin-morton) reorder: ~2.9x over the
-                    # block-local octant sort on scattered-origin batches and
-                    # exact at the same budget (measured r3, v5e)
-                    sort_octants="morton" if incoherent else False,
+                    sort_octants=sort,
                 )
 
             if self.mesh is not None:
@@ -105,16 +112,20 @@ class Tracer:
         return lbvh_mod.intersect_bvh(self.accel, rays_o, rays_d, t_min=t_min, t_max=t_max)
 
     def occluded(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray, t_max,
-                 t_min: float = 1e-4, incoherent: bool = False) -> jnp.ndarray:
+                 t_min: float = 1e-4, incoherent: bool = False,
+                 sort=None) -> jnp.ndarray:
         if self.kind == "tile":
             from . import tile_tracer
+
+            if sort is None:
+                sort = "morton" if incoherent else False
 
             def run(cm, ro, rd, tm):
                 return tile_tracer.occluded_tiles_t(
                     cm, ro, rd, tm, t_min=t_min,
                     k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
                     tile=self.tile, dense_threshold=self.dense_threshold,
-                    sort_octants="morton" if incoherent else False,
+                    sort_octants=sort,
                 )
 
             if self.mesh is not None:

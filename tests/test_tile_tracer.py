@@ -148,14 +148,15 @@ def test_tile_octant_sort_matches_unsorted():
     rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
 
     ref = tile_tracer.tile_trace(cm, rays_o, rays_d, k_cap=C)
-    got = tile_tracer.tile_trace(
-        cm, rays_o, rays_d, k_cap=C, sort_octants=True, sort_block=512
-    )
-    np.testing.assert_array_equal(np.asarray(got.hit.prim), np.asarray(ref.hit.prim))
-    hitm = np.asarray(ref.hit.prim >= 0)
-    np.testing.assert_allclose(
-        np.asarray(got.hit.t)[hitm], np.asarray(ref.hit.t)[hitm], rtol=1e-6
-    )
+    for mode in (True, "morton", "morton_dir2"):
+        got = tile_tracer.tile_trace(
+            cm, rays_o, rays_d, k_cap=C, sort_octants=mode, sort_block=512
+        )
+        np.testing.assert_array_equal(np.asarray(got.hit.prim), np.asarray(ref.hit.prim))
+        hitm = np.asarray(ref.hit.prim >= 0)
+        np.testing.assert_allclose(
+            np.asarray(got.hit.t)[hitm], np.asarray(ref.hit.t)[hitm], rtol=1e-6
+        )
 
 
 def test_tile_per_ray_padding():
