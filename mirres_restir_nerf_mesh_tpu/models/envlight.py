@@ -49,46 +49,16 @@ def uv_to_dir(uv: jnp.ndarray) -> jnp.ndarray:
 def _bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear texture lookup; u wraps, v clamps. tex [H,W,C], uv [...,2].
     Texel centers at (x+0.5)/W; v indexes rows top-to-bottom with row 0 at
-    v=1 (matching eval_bi in utils/helper.slang)."""
-    H, W = tex.shape[0], tex.shape[1]
-    x = uv[..., 0] * W - 0.5
-    y = (1.0 - uv[..., 1]) * H - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    v=1 (matching eval_bi in utils/helper.slang).
 
-    def at(xi, yi):
-        xi = jnp.mod(xi, W)
-        yi = jnp.clip(yi, 0, H - 1)
-        return tex[yi, xi]
-
-    c00 = at(x0, y0)
-    c10 = at(x0 + 1, y0)
-    c01 = at(x0, y0 + 1)
-    c11 = at(x0 + 1, y0 + 1)
-    fx = fx[..., None]
-    fy = fy[..., None]
-    return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
-
-
-def eval_le(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
-    """Environment radiance for world directions [..., 3].
-
-    Bilinear via a packed-quad table: each texel row carries its own rgb
-    plus the x+1 (wrapped), y+1 (clamped) and xy neighbors, so the lookup
-    is ONE wide-row gather instead of four (row gathers are latency-priced
-    per row, not per byte — CLAUDE.md cost model).  Packing is a cheap
-    roll/concat whose autodiff transpose scatter-adds the four
-    contributions back, so env gradients are identical to the 4-gather
-    bilinear."""
+    Executed as ONE wide-row gather of a packed-quad table (each texel row
+    carries self + x-wrap + y-clamp + xy neighbors, built by cheap
+    roll/concat) — row gathers are latency-priced per row, not per byte
+    (CLAUDE.md cost model), so this is ~4x cheaper than four 2-D gathers
+    at path-tracing batch sizes.  The packing's autodiff transpose
+    scatter-adds the four contributions back: texture gradients are
+    identical to the naive form."""
     H, W, C = tex.shape
-    d = ngp_dir(dir_world)
-    uv = dir_to_uv(d)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 0.0))
-
     tx = jnp.roll(tex, -1, axis=1)                      # x+1 (wraps)
     ty = jnp.concatenate([tex[1:], tex[-1:]], axis=0)   # y+1 (clamps)
     txy = jnp.roll(ty, -1, axis=1)
@@ -107,7 +77,15 @@ def eval_le(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
     q = packed[yi * W + xi]
     c00, c10 = q[..., 0:C], q[..., C:2 * C]
     c01, c11 = q[..., 2 * C:3 * C], q[..., 3 * C:4 * C]
-    le = (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+    return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+
+
+def eval_le(tex: jnp.ndarray, dir_world: jnp.ndarray) -> jnp.ndarray:
+    """Environment radiance for world directions [..., 3]."""
+    d = ngp_dir(dir_world)
+    uv = dir_to_uv(d)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 0.0))
+    le = _bilinear(tex, uv)
     return jnp.where(sin_theta[..., None] < 1e-4, 0.0, le)
 
 
