@@ -245,6 +245,7 @@ def temporal_resampling(
     max_history: float = 20.0,
     v_curr: Optional[jnp.ndarray] = None,
     v_prev: Optional[jnp.ndarray] = None,
+    u: Optional[jnp.ndarray] = None,
 ):
     """Merge the previous frame's reservoir (TemporalResampling.slang:21-135;
     motion vectors are zero in the reference, renderer_restir.py:487).
@@ -253,7 +254,10 @@ def temporal_resampling(
     at ctx.position (visibility threading: initial RIS already traced the
     winner, the previous iteration's final eval traced prev.dir).  When both
     are given, returns (Reservoir, v_out) with the winner's visibility — no
-    ray was consumed to know it."""
+    ray was consumed to know it.
+
+    u: optional [P] pre-drawn uniforms (live-lane-compacted callers draw in
+    pixel space and pass permuted slices, so chunked == unchunked bitwise)."""
     P = ctx.position.shape[0]
     ok = prev.valid & _valid_neighbor(ctx, prev_normal, prev_depth)
     prev_M = jnp.where(ok, jnp.minimum(prev.M, max_history * jnp.maximum(curr.M, 1.0)), 0.0)
@@ -268,7 +272,8 @@ def temporal_resampling(
     w_sum = w_curr + w_prev
     M = curr.M + prev_M
 
-    u = jax.random.uniform(key, (P,))
+    if u is None:
+        u = jax.random.uniform(key, (P,))
     pick_prev = u * w_sum >= w_curr  # prev wins the residual mass
     sel_dir = jnp.where(pick_prev[:, None], prev.dir, curr.dir)
     sel_p = jnp.where(pick_prev, p_prev, p_curr)
@@ -297,6 +302,26 @@ def make_neighbor_offsets(key: jax.Array, count: int = 8192, radius: float = 30.
     return jnp.stack([r * jnp.cos(th), r * jnp.sin(th)], axis=-1)
 
 
+def pack_spatial_record(
+    ctx: PixelCtx, res: Reservoir, v_self: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Pack the per-pixel (ctx, reservoir[, vis]) record spatial reuse
+    gathers from neighbors — ONE wide-row gather of this [P, 22(+1)] table
+    replaces 12 per-field gathers (random row gathers are latency-priced
+    per ROW regardless of width, CLAUDE.md cost model)."""
+    return jnp.concatenate(
+        [
+            ctx.position, ctx.normal, ctx.view_dir, ctx.kd,
+            ctx.roughness[:, None], ctx.metallic[:, None],
+            ctx.mask.astype(jnp.float32)[:, None], ctx.depth[:, None],
+            res.dir, res.W[:, None], res.M[:, None],
+            res.valid.astype(jnp.float32)[:, None],
+        ]
+        + ([v_self.astype(jnp.float32)[:, None]] if v_self is not None else []),
+        axis=1,
+    )
+
+
 def spatial_resampling(
     key: jax.Array,
     ctx: PixelCtx,
@@ -309,6 +334,10 @@ def spatial_resampling(
     n_neighbors: int = 5,
     unbiased: bool = True,
     v_self: Optional[jnp.ndarray] = None,
+    packed: Optional[jnp.ndarray] = None,
+    pix_idx: Optional[jnp.ndarray] = None,
+    idx_map: Optional[jnp.ndarray] = None,
+    rand: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Pairwise-MIS spatial reuse (SpatialResampling.slang:41-321,
     kUsePairwiseMIS=1). Optionally cross-visibility unbiased variant.
@@ -323,15 +352,32 @@ def spatial_resampling(
       2. the winner's visibility is known without the final-eval shadow ray
          (a picked neighbor had visibility multiplied into its selection
          weight, so it is visible by construction; a canonical winner has
-         v_self), and the function returns (Reservoir, vis [P] bool)."""
+         v_self), and the function returns (Reservoir, vis [P] bool).
+
+    packed/pix_idx/idx_map: live-lane-compacted calls (utils/compact.py)
+    pass rows of a SUBSET of the frame: `packed` is the full-frame neighbor
+    record (pack_spatial_record) to gather from, `pix_idx` [P] each row's
+    pixel index, `idx_map` [HW] the map from pixel index to `packed` row
+    (identity when packed is in pixel order).  Default: pack
+    (ctx, res, v_self) and arange(P).
+
+    rand: optional pre-drawn randoms (start [P] int32 disc offsets,
+    us [nn+1, P] pick uniforms) — compacted callers draw these in pixel
+    space so chunked == unchunked bitwise."""
     P = ctx.position.shape[0]
     nn = n_neighbors
     k_off, k_pick = jax.random.split(key)
 
-    px = jnp.arange(P) % W_img
-    py = jnp.arange(P) // W_img
+    if pix_idx is None:
+        pix_idx = jnp.arange(P)
+    px = pix_idx % W_img
+    py = pix_idx // W_img
 
-    start = jax.random.randint(k_off, (P,), 0, offsets.shape[0])
+    if rand is not None:
+        start, us_pre = rand
+    else:
+        start = jax.random.randint(k_off, (P,), 0, offsets.shape[0])
+        us_pre = None
 
     # canonical target pdf (nearest-texel Le: see eval_le_nearest)
     le_c = envlight.eval_le_nearest(env_tex, res.dir)
@@ -355,21 +401,10 @@ def spatial_resampling(
         return jnp.repeat(x, nn, axis=0)
 
     ctx_rep = PixelCtx(*(rep(getattr(ctx, f)) for f in ctx._fields))
-    # neighbor fetch: ONE wide-row gather of the packed (ctx, reservoir)
-    # record — random row gathers are latency-priced per ROW regardless of
-    # width (CLAUDE.md cost model), so 12 per-field gathers of [P*nn] rows
-    # (~30 ms at 327k) collapse into one (~3 ms)
-    packed = jnp.concatenate(
-        [
-            ctx.position, ctx.normal, ctx.view_dir, ctx.kd,
-            ctx.roughness[:, None], ctx.metallic[:, None],
-            ctx.mask.astype(jnp.float32)[:, None], ctx.depth[:, None],
-            res.dir, res.W[:, None], res.M[:, None],
-            res.valid.astype(jnp.float32)[:, None],
-        ]
-        + ([v_self.astype(jnp.float32)[:, None]] if v_self is not None else []),
-        axis=1,
-    )  # [P, 22(+1)]
+    if packed is None:
+        packed = pack_spatial_record(ctx, res, v_self)
+    if idx_map is not None:
+        nidx = idx_map[nidx]
     g = packed[nidx]
     n_ctx = PixelCtx(
         position=g[:, 0:3], normal=g[:, 3:6], view_dir=g[:, 6:9],
@@ -475,7 +510,7 @@ def spatial_resampling(
     M = jnp.sum(M_all, axis=1)
 
     # --- sequential reservoir streaming over the (precomputed) neighbors ---
-    us = jax.random.uniform(k_pick, (nn + 1, P))
+    us = us_pre if us_pre is not None else jax.random.uniform(k_pick, (nn + 1, P))
     w_sum = jnp.zeros((P,))
     sel_dir = res.dir
     sel_p = jnp.zeros((P,))

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..models import envlight, material as material_mod
 from ..models import nerf as nerf_model
 from ..ops.tracer import build_tracer
+from ..utils.compact import masked_apply
 from ..utils.math import safe_normalize
 from . import pathtracer
 from . import restir as restir_mod
@@ -98,6 +99,12 @@ class Stage1Static:
     # screen-space normal-AO buffer for the lambda_extra_kd loss
     # (reference process_normal_ao, renderer.py:1151-1158)
     compute_normal_ao: bool = False
+
+    # live-lane compaction for per-pixel field queries (utils/compact.py):
+    # number of cond-gated chunks; executed chunks adapt to coverage at run
+    # time.  1 disables.  4 is a measured sweet spot: full-coverage penalty
+    # is a few fixed per-op costs, low-coverage win is ~4x on the encodes.
+    compact_chunks: int = 4
 
 
 def act_voffsets(vo: jnp.ndarray) -> jnp.ndarray:
@@ -181,12 +188,28 @@ def render_stage1(
     normal = prepare_shading_normal(gb.view_dir, gb.normal, gb.face_normal)
 
     # --- material & jittered taps for smoothness grads (renderer.py:1000-1022) ---
+    # the three per-pixel field queries (material, jittered material, NeRF
+    # radiance) run under live-lane compaction (utils/compact.py): the
+    # reference's per-pixel kernels early-out on uncovered pixels
+    # (occ_map==0 guards); on TPU the equivalent is sorting live lanes
+    # first and cond-skipping dead chunks — at typical object coverage
+    # (15-40% of the frame) this removes most of the ~90 ms of hash-grid
+    # gathers the masked lanes would pay
     xyzs = gb.position
-    mat = material_mod.sample_material(params.mat, xyzs, static.mat_spec)
     k_jit, k_di, k_ind, key = jax.random.split(key, 4)
     jitter = jax.random.normal(k_jit, xyzs.shape) * static.smooth_eps
-    mat_j = material_mod.sample_material(
-        params.mat, jax.lax.stop_gradient(xyzs) + jitter, static.mat_spec
+    xyzs_j = jax.lax.stop_gradient(xyzs) + jitter
+
+    def field_queries(pos, pos_j, vdir):
+        m = material_mod.sample_material(params.mat, pos, static.mat_spec)
+        m_j = material_mod.sample_material(params.mat, pos_j, static.mat_spec)
+        npts = pos if static.enable_offset_nerf_grad else jax.lax.stop_gradient(pos)
+        rgb = nerf_model.rgb_only(params.nerf, npts, vdir, static.nerf_spec)
+        return m, m_j, rgb
+
+    mat, mat_j, nerf_rgb = masked_apply(
+        field_queries, gb.mask, (xyzs, xyzs_j, gb.view_dir),
+        fills=(0.5, 0.5, 0.0), chunks=static.compact_chunks,
     )
     kd, rough, metal = material_mod.split_material(mat)
     kd_j, rough_j, metal_j = material_mod.split_material(mat_j)
@@ -207,11 +230,8 @@ def render_stage1(
     else:
         normal_grad = jnp.sum(jnp.abs(gb.normal - gb.face_normal), axis=-1) * gb.mask
 
-    # --- NeRF radiance at surface points (supervision image, renderer.py:1046) ---
-    nerf_pts = xyzs if static.enable_offset_nerf_grad else jax.lax.stop_gradient(xyzs)
-    nerf_rgb = nerf_model.rgb_only(
-        params.nerf, nerf_pts, gb.view_dir, static.nerf_spec
-    )
+    # --- NeRF radiance at surface points (supervision image, renderer.py:1046;
+    # computed in field_queries above under the shared compaction) ---
     image = jnp.where(gb.mask[:, None], nerf_rgb, 1.0)
 
     # --- lighting ---
@@ -292,16 +312,42 @@ def render_stage1(
 
     # --- indirect bounces, batched across all spp (no-grad; each spp's rays
     # draw independent randoms via the flat [SPP*P] shapes); runs BEFORE the
-    # spp chain so the initial-RIS visibility rays ride its first launch ---
-    ind_out = pathtracer.render_indirect(
-        k_ind, tile_spp(gb.mask), tile_spp(sg(xyzs)), tile_spp(sg(normal)),
-        tile_spp(gb.view_dir), tile_spp(sg(kd_shade)), tile_spp(sg(rough)),
-        tile_spp(sg(metal)), tracer, sg(verts), tris, material_fn,
-        env_tex, env_dist, bounces=static.bounces,
-        extra_occ=init_occ_rays if static.use_restir else None,
-    )
+    # spp chain so the initial-RIS visibility rays ride its first launch.
+    # The WHOLE pass (tracer launches, material re-queries, BRDF/NEE math)
+    # runs under live-lane compaction: at typical object coverage most
+    # [SPP*P] lanes are dead, and on TPU dead lanes pay full gather price.
+    # Compaction here is statistical (per-chunk keys), exact for the
+    # fused initial-RIS visibility (dead lanes have no valid reservoir). ---
+    mask_b = tile_spp(gb.mask)
+    ind_args = [
+        mask_b, tile_spp(sg(xyzs)), tile_spp(sg(normal)), tile_spp(gb.view_dir),
+        tile_spp(sg(kd_shade)), tile_spp(sg(rough)), tile_spp(sg(metal)),
+    ]
     if static.use_restir:
-        sum_i_b, init_occ = ind_out
+        ind_args += list(init_occ_rays)
+
+    def indirect_fn(ck, m_c, pos_c, nrm_c, vd_c, kd_c, r_c, mt_c, *eo_c):
+        out = pathtracer.render_indirect(
+            ck, m_c, pos_c, nrm_c, vd_c, kd_c, r_c, mt_c, tracer, sg(verts),
+            tris, material_fn, env_tex, env_dist, bounces=static.bounces,
+            extra_occ=tuple(eo_c) if eo_c else None,
+        )
+        tot, occ = out if eo_c else (out, jnp.zeros((pos_c.shape[0],), bool))
+        # tracer telemetry is appended as traced values; inside the cond it
+        # must leave through the branch outputs (a constant column whose
+        # row-sum is the per-chunk scalar)
+        n = pos_c.shape[0]
+        telem = tracer.pop_telemetry()
+        return (tot, occ.astype(jnp.float32)[:, None],
+                jnp.full((n, 1), telem / n))
+
+    sum_i_b, occ_col, telem_col = masked_apply(
+        indirect_fn, mask_b, ind_args, fills=(0.0, 0.0, 0.0),
+        chunks=static.compact_chunks, key=k_ind,
+    )
+    uncertain_primary = uncertain_primary + jnp.sum(telem_col)
+    if static.use_restir:
+        init_occ = occ_col[:, 0] > 0.5
         # apply the fused winner visibility: an occluded winner is exactly a
         # zeroed/invalidated reservoir (same algebra as the in-pass check —
         # W was already final, visibility only gates it)
@@ -312,12 +358,126 @@ def render_stage1(
         res_all = jax.tree.map(
             lambda a: a.reshape((SPP,) + (P,) + a.shape[1:]), res_b
         )
-    else:
-        sum_i_b = ind_out
     sum_i = sum_i_b.reshape(SPP, P, 3).sum(axis=0)
-    # pop the traces' telemetry HERE: left in the list it would become a
+    # pop any remaining telemetry HERE: left in the list it would become a
     # scan constant and be re-counted every spp iteration
     uncertain_primary = uncertain_primary + tracer.pop_telemetry()
+
+    # the serial spp chain (temporal -> spatial -> final eval -> shade) also
+    # runs under live-lane compaction when the pixel layout is known: the
+    # whole chain is carried in a live-first PERMUTED pixel domain (one sort
+    # per frame — the mask is constant across spp), each pass executes
+    # chunk-wise under lax.cond, and spatial reuse's cross-pixel neighbor
+    # gathers read a full-frame packed record through the permutation's
+    # idx_map.  Randoms are drawn in PIXEL space with the same keys as the
+    # uncompacted chain and threaded through (u/rand params), so chunked ==
+    # unchunked exactly — tested by test_restir_chain_chunk_equivalence.
+    chain_chunked = (
+        static.use_restir and static.compact_chunks > 1
+        and P % static.compact_chunks == 0 and static.H > 0
+    )
+    if chain_chunked:
+        from ..utils.compact import chunked_tree, live_first_permutation
+
+        Cn = static.compact_chunks
+        csz = P // Cn
+        perm, inv_perm, live = live_first_permutation(gb.mask)
+        pctx = restir_mod.PixelCtx(*(getattr(ctx, f)[perm] for f in ctx._fields))
+        # differentiable shading inputs in permuted space (gather has a
+        # scatter-add VJP, so gradients flow back to the pixel domain)
+        p_norm, p_kd = normal[perm], kd_shade[perm]
+        p_rough, p_metal = rough[perm], metal[perm]
+        res_all_p = jax.tree.map(lambda a: a[:, perm], res_all)
+        thread_vis = static.restir_unbiased_spatial
+
+        def cslice(t, c):
+            return jax.tree.map(lambda a: a[c * csz:(c + 1) * csz], t)
+
+        def spp_body_chunked(carry, s):
+            prev_res, prev_vis, acc_d, acc_s, acc_u = carry
+            k_s = jax.random.fold_in(k_di, s)
+            # same key derivation as the uncompacted chain; randoms drawn
+            # full-width in pixel space, permuted, sliced per chunk
+            k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
+            u_tm = jax.random.uniform(k_tm, (P,))[perm]
+            k_off, k_pick = jax.random.split(k_sp)
+            st_sp = jax.random.randint(k_off, (P,), 0, offsets.shape[0])[perm]
+            nn1 = static.restir_neighbors + 1
+            us_sp = jax.random.uniform(k_pick, (nn1, P))[:, perm]
+            res_s = jax.tree.map(lambda a: a[s], res_all_p)
+
+            # pass 1 (rowwise): temporal merge per chunk
+            def temporal_chunk(c):
+                ctx_c = cslice(pctx, c)
+                kw = {}
+                if thread_vis:
+                    kw = dict(v_curr=jnp.ones((csz,), bool),
+                              v_prev=prev_vis[c * csz:(c + 1) * csz])
+                out = restir_mod.temporal_resampling(
+                    k_tm, ctx_c, cslice(res_s, c),
+                    cslice(prev_res, c), ctx_c.normal, ctx_c.depth,
+                    sg(env_tex), max_history=static.restir_history,
+                    u=u_tm[c * csz:(c + 1) * csz], **kw,
+                )
+                return out if thread_vis else (out, jnp.ones((csz,), bool))
+
+            res_t, v_self = chunked_tree(live, Cn, csz, temporal_chunk)
+            packed = restir_mod.pack_spatial_record(
+                pctx, res_t, v_self if thread_vis else None
+            )
+
+            # pass 2: spatial reuse + final eval + shade per chunk (the
+            # cross-visibility / final-visibility tracer launches shrink to
+            # the executed chunks' rays)
+            def spatial_chunk(c):
+                ctx_c = cslice(pctx, c)
+                kw = dict(v_self=v_self[c * csz:(c + 1) * csz]) if thread_vis else {}
+                out = restir_mod.spatial_resampling(
+                    k_sp, ctx_c, cslice(res_t, c),
+                    sg(env_tex), static.H, static.W, offsets,
+                    tracer=tracer, n_neighbors=static.restir_neighbors,
+                    unbiased=static.restir_unbiased_spatial,
+                    packed=packed, pix_idx=perm[c * csz:(c + 1) * csz],
+                    idx_map=inv_perm,
+                    rand=(st_sp[c * csz:(c + 1) * csz],
+                          us_sp[:, c * csz:(c + 1) * csz]), **kw,
+                )
+                if thread_vis:
+                    res_o, fvis = out
+                    light = restir_mod.evaluate_final_samples(
+                        ctx_c, res_o, env_tex, tracer, known_vis=fvis
+                    )
+                else:
+                    res_o = out
+                    fvis = jnp.ones((csz,), bool)
+                    light = restir_mod.evaluate_final_samples(
+                        ctx_c, res_o, env_tex, tracer
+                    )
+                _, dval, sval = pathtracer.shade_direct(
+                    light, ctx_c.mask, p_norm[c * csz:(c + 1) * csz],
+                    ctx_c.view_dir, p_kd[c * csz:(c + 1) * csz],
+                    p_rough[c * csz:(c + 1) * csz],
+                    p_metal[c * csz:(c + 1) * csz], jnp.zeros((csz, 3)),
+                )
+                # telemetry must leave through the branch outputs (see
+                # indirect_fn above); one (1,) leaf per chunk
+                return res_o, fvis, dval, sval, tracer.pop_telemetry()[None]
+
+            res_o, fvis, dval, sval, telem = chunked_tree(
+                live, Cn, csz, spatial_chunk
+            )
+            return (res_o, fvis, acc_d + dval, acc_s + sval,
+                    acc_u + jnp.sum(telem)), None
+
+        zero = jnp.zeros((P, 3))
+        carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero,
+                  zero, jnp.zeros((), jnp.float32))
+        (_, _, sum_d_p, sum_s_p, sum_u), _ = jax.lax.scan(
+            spp_body_chunked, carry0, jnp.arange(static.spp)
+        )
+        # unpermute both accumulators with ONE wide-row gather
+        both = jnp.concatenate([sum_d_p, sum_s_p], axis=1)[inv_perm]
+        sum_d, sum_s = both[:, 0:3], both[:, 3:6]
 
     def spp_body(carry, s):
         prev_res, prev_vis, acc_d, acc_s, acc_u = carry
@@ -367,12 +527,13 @@ def render_stage1(
         acc_u = acc_u + tracer.pop_telemetry()
         return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s, acc_u), None
 
-    zero = jnp.zeros((P, 3))
-    carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero, zero,
-              jnp.zeros((), jnp.float32))
-    (_, _, sum_d, sum_s, sum_u), _ = jax.lax.scan(
-        spp_body, carry0, jnp.arange(static.spp)
-    )
+    if not chain_chunked:
+        zero = jnp.zeros((P, 3))
+        carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero,
+                  zero, jnp.zeros((), jnp.float32))
+        (_, _, sum_d, sum_s, sum_u), _ = jax.lax.scan(
+            spp_body, carry0, jnp.arange(static.spp)
+        )
     uncertain_count = uncertain_primary + sum_u
     inv = 1.0 / float(static.spp)
     diffuse_light = sum_d * inv

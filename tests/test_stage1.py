@@ -14,9 +14,9 @@ from mirres_restir_nerf_mesh_tpu.config import Config, finalize
 from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
 from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
 from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
-from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec
+from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec, init_material
 from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
-from mirres_restir_nerf_mesh_tpu.render.stage1 import Stage1Static
+from mirres_restir_nerf_mesh_tpu.render.stage1 import Stage1Params, Stage1Static, render_stage1
 from mirres_restir_nerf_mesh_tpu.train import stage1
 from mirres_restir_nerf_mesh_tpu.train.losses import build_topology
 
@@ -257,3 +257,137 @@ def test_jittered_normal_tap_grad():
     # masked-out pixels are excluded
     g2 = _jittered_tap_grad(key, jnp.asarray(seam), jnp.zeros((H * W,), bool), H, W)
     assert float(jnp.max(g2)) == 0.0
+
+
+def test_masked_apply_mc_key_mode():
+    """masked_apply(key=...) — the Monte-Carlo mode used for the indirect
+    pass — is statistically unbiased: the chunked estimator of a known
+    per-lane integral matches the uncompacted one, dead lanes get fill, and
+    skipped chunks never execute their payload."""
+    from mirres_restir_nerf_mesh_tpu.utils.compact import masked_apply
+
+    P, S = 512, 2048
+    mask = jnp.arange(P) % 8 == 0  # 12.5% live -> 1 of 4 chunks executes
+    centers = jnp.linspace(0.0, 1.0, P)[:, None]
+
+    def payload(k, c):
+        # MC estimate of E[c + u] = c + 0.5
+        u = jax.random.uniform(k, (c.shape[0], S))
+        return jnp.mean(c + u, axis=1, keepdims=True)
+
+    out = masked_apply(payload, mask, (centers,), fills=(-7.0,), chunks=4,
+                       key=jax.random.PRNGKey(3))
+    out = np.asarray(out)[:, 0]
+    m = np.asarray(mask)
+    expect = np.asarray(centers)[:, 0] + 0.5
+    np.testing.assert_allclose(out[m], expect[m], atol=0.05)
+    # live lanes (64) all fit chunk 0 (size 128) after the live-first stable
+    # sort; chunk 0's remaining 64 lanes are the FIRST 64 dead lanes in pixel
+    # order — executed, so they get computed values.  Chunks 1-3 are skipped,
+    # so every later dead lane must carry the fill value.
+    dead_rank = np.cumsum(~m) - 1
+    exec_dead = (~m) & (dead_rank < 128 - 64)
+    skip_dead = (~m) & (dead_rank >= 128 - 64)
+    assert skip_dead.sum() == 512 - 128
+    assert (out[skip_dead] == -7.0).all()
+    np.testing.assert_allclose(out[exec_dead], expect[exec_dead], atol=0.05)
+
+
+def test_restir_chain_chunk_equivalence(sphere_scene):
+    """The live-lane-compacted ReSTIR spp chain (chain_chunked path in
+    render_stage1) must reproduce the uncompacted chain exactly: randoms are
+    drawn in pixel space and threaded through (u/rand params), so
+    temporal/spatial/final-eval/shade give identical values AND envmap
+    gradients for every pixel."""
+    verts, tris, data = sphere_scene
+    nerf_spec = NeRFSpec(bound=1.0, hidden_dim=16, hidden_dim_color=16,
+                         grid_levels=4, grid_log2_hashmap_size=12,
+                         grid_desired_resolution=32)
+    mat_spec = MaterialSpec(bound=1.0)
+    key = jax.random.PRNGKey(0)
+    params = Stage1Params(
+        nerf=init_nerf(key, nerf_spec),
+        offsets=jnp.zeros((verts.shape[0], 3)),
+        mat=init_material(key, mat_spec),
+        env=jnp.full((8, 16, 3), 0.5),
+    )
+    sampler = RayDataset(data, bound=1.0)
+    f = sampler.frame_rays(0)
+
+    outs = {}
+    grads = {}
+    for chunks in (1, 4):
+        static = Stage1Static(
+            tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+            spp=2, bounces=0, H=data.H, W=data.W, compact_chunks=chunks,
+            use_restir=True, restir_tiles=4, restir_tile_size=32,
+            restir_light_samples=4, restir_offsets=64,
+        )
+
+        def loss_fn(p):
+            out = render_stage1(p, static, jnp.asarray(verts),
+                                f["rays_o"], f["rays_d"], jax.random.PRNGKey(7))
+            l = jnp.sum(out["diffuse_light"]) + jnp.sum(out["specular_light"])
+            return l, out
+
+        (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        outs[chunks] = out
+        grads[chunks] = g
+
+    m = np.asarray(outs[1]["mask"])
+    assert m.any() and (~m).any()
+    for k in ("diffuse_light", "specular_light"):
+        a, b = np.asarray(outs[1][k]), np.asarray(outs[4][k])
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=k)
+    ga = np.asarray(grads[1].env)
+    gb = np.asarray(grads[4].env)
+    np.testing.assert_allclose(ga, gb, atol=1e-4)
+
+
+def test_compact_chunks_equivalence(sphere_scene):
+    """Live-lane compaction (utils/compact.py) is exact: compact_chunks=4
+    must reproduce compact_chunks=1 on every covered pixel, for values AND
+    parameter gradients."""
+    verts, tris, data = sphere_scene
+    nerf_spec = NeRFSpec(bound=1.0, hidden_dim=16, hidden_dim_color=16,
+                         grid_levels=4, grid_log2_hashmap_size=12,
+                         grid_desired_resolution=32)
+    mat_spec = MaterialSpec(bound=1.0)
+    key = jax.random.PRNGKey(0)
+    params = Stage1Params(
+        nerf=init_nerf(key, nerf_spec),
+        offsets=jnp.zeros((verts.shape[0], 3)),
+        mat=init_material(key, mat_spec),
+        env=jnp.full((8, 16, 3), 0.5),
+    )
+    sampler = RayDataset(data, bound=1.0)
+    f = sampler.frame_rays(0)
+
+    outs = {}
+    grads = {}
+    for chunks in (1, 4):
+        static = Stage1Static(
+            tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+            spp=1, bounces=0, H=data.H, W=data.W, compact_chunks=chunks,
+        )
+
+        def loss_fn(p):
+            out = render_stage1(p, static, jnp.asarray(verts),
+                                f["rays_o"], f["rays_d"], jax.random.PRNGKey(7))
+            l = (jnp.sum(out["image"] ** 2) + jnp.sum(out["image_brdf"] ** 2)
+                 + jnp.sum(out["kd_grad"]))
+            return l, out
+
+        (l, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        outs[chunks] = out
+        grads[chunks] = g
+
+    m = np.asarray(outs[1]["weights_sum"]) > 0.5
+    assert m.any() and (~m).any()
+    for k in ("image", "image_brdf", "kd"):
+        a, b = np.asarray(outs[1][k]), np.asarray(outs[4][k])
+        np.testing.assert_allclose(a[m], b[m], atol=1e-5, err_msg=k)
+    for name in ("mat", "env", "offsets"):
+        ga = np.asarray(jax.tree.leaves(getattr(grads[1], name))[0])
+        gb = np.asarray(jax.tree.leaves(getattr(grads[4], name))[0])
+        np.testing.assert_allclose(ga, gb, atol=2e-3, err_msg=name)
