@@ -5,14 +5,15 @@ reference lines 16-83): resize to 384x384, normalize mean/std 0.5, run the
 depth net, bicubic-resize back to the source resolution, save <name>.npy
 (the colmap provider consumes <data>/depths/<name>.npy at training time).
 
-The omnidata weights/timm stack cannot be downloaded in this environment;
-the depth net is therefore pluggable:
-  1. --model_path <m.pt>: any TorchScript module mapping the normalized
-     [1,3,384,384] input to [1,384,384] (or [1,1,384,384]) depth — e.g. an
-     exported omnidata DPT (see scripts/export_dpt_torchscript.py), or
-  2. precomputed per-image .npy depth maps copied into <data>/depths/.
+The depth net is pluggable:
+  1. --ckpt <omnidata_dpt_depth_v2.ckpt>: the omnidata DPT-hybrid depth
+     checkpoint, run through the pure-JAX DPT re-implementation
+     (depth_tools/dpt_jax.py — no timm needed, torch only deserializes);
+  2. --model_path <m.pt>: any TorchScript module mapping the normalized
+     [1,3,384,384] input to [1,384,384] (or [1,1,384,384]) depth; or
+  3. precomputed per-image .npy depth maps copied into <data>/depths/.
 
-Usage: python depth_tools/extract_depth.py <image_dir> [--model_path m.pt]
+Usage: python depth_tools/extract_depth.py <image_dir> [--ckpt w.ckpt]
 """
 
 from __future__ import annotations
@@ -44,9 +45,33 @@ def run_model(model, img: np.ndarray):
     return d.squeeze().cpu().numpy()
 
 
+class JaxDPT:
+    """Callable wrapping dpt_jax with the TorchScript-module interface
+    ([1,3,384,384] torch tensor in, [1,384,384] torch tensor out)."""
+
+    def __init__(self, ckpt_path: str):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import dpt_jax
+
+        self._fwd = dpt_jax.dpt_depth
+        self._params = dpt_jax.load_dpt(ckpt_path)
+
+    def __call__(self, x):
+        import jax
+        import torch
+
+        xin = x.permute(0, 2, 3, 1).cpu().numpy()
+        d = jax.jit(self._fwd)(self._params, xin)
+        return torch.from_numpy(np.asarray(d))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
+    ap.add_argument("--ckpt", default=None,
+                    help="omnidata DPT-hybrid depth checkpoint (JAX path)")
     ap.add_argument("--model_path", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -56,17 +81,20 @@ def main() -> None:
     files = sorted(
         sum((glob.glob(os.path.join(args.path, e)) for e in ("*.png", "*.jpg")), [])
     )
-    if args.model_path is None:
+    if args.model_path is None and args.ckpt is None:
         raise SystemExit(
-            "No depth model given. Provide --model_path <torchscript.pt> "
-            "(e.g. an exported omnidata DPT: scripts/export_dpt_torchscript.py), "
-            f"or place precomputed .npy depth maps directly into {out}/."
+            "No depth model given. Provide --ckpt <omnidata.ckpt> (pure-JAX "
+            "DPT), --model_path <torchscript.pt>, or place precomputed .npy "
+            f"depth maps directly into {out}/."
         )
 
     import torch
     from PIL import Image
 
-    model = torch.jit.load(args.model_path).eval()
+    if args.ckpt is not None:
+        model = JaxDPT(args.ckpt)
+    else:
+        model = torch.jit.load(args.model_path).eval()
     for f in files:
         img = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
         d = run_model(model, img)

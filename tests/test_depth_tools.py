@@ -45,3 +45,32 @@ def test_extract_depth_end_to_end(tmp_path):
         assert d[-1].mean() > d[0].mean()
         # endpoints: (0-0.5)/0.5=-1 at top, (1-0.5)/0.5=+1 at bottom
         assert abs(d[0].mean() + 1.0) < 0.1 and abs(d[-1].mean() - 1.0) < 0.1
+
+
+def test_extract_depth_jax_dpt_ckpt(tmp_path):
+    """--ckpt path: a saved omnidata-layout checkpoint runs through the
+    pure-JAX DPT (depth_tools/dpt_jax.py) and writes depth maps at source
+    resolution (reference extract_depth.py protocol)."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "depth_tools"))
+    import dpt_jax
+    from extract_depth import JaxDPT, run_model
+
+    _, sd = dpt_jax.random_params()
+    # lightning-style wrapping, like the real omnidata ckpt
+    ckpt = {"state_dict": {f"model.{k}": torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()}}
+    ckpt_path = str(tmp_path / "dpt.ckpt")
+    torch.save(ckpt, ckpt_path)
+
+    H, W = 97, 123
+    rng = np.random.RandomState(0)
+    img = rng.rand(H, W, 3).astype(np.float32)
+    model = JaxDPT(ckpt_path)
+    d = run_model(model, img)
+    assert d.shape == (H, W)
+    assert np.isfinite(d).all()
+    assert (d >= -1e-3).sum() > 0  # non_negative head
