@@ -182,15 +182,23 @@ class BRDFSample(NamedTuple):
     valid: jnp.ndarray            # [N] bool
 
 
-def brdf_sample(key: jax.Array, w_view_l, kd, metallic, alpha) -> BRDFSample:
+def brdf_sample(key: jax.Array, w_view_l, kd, metallic, alpha,
+                u=None) -> BRDFSample:
     """One-sample lobe-selected BRDF sampling (brdfDi.slang:285-327
     FalcorBRDF_sample), fully vectorized: both lobes are sampled and the
-    selected one is chosen with where()."""
+    selected one is chosen with where().
+
+    u: optional pre-drawn uniforms (u_sel [N], u_d [N,2], u_s [N,2]) —
+    live-lane-compacted callers draw them in pixel space (utils/compact.py)
+    so chunked calls equal the uncompacted call bitwise."""
     N = w_view_l.shape[0]
-    k_sel, k_d, k_s = jax.random.split(key, 3)
-    u_sel = jax.random.uniform(k_sel, (N,))
-    u_d = jax.random.uniform(k_d, (N, 2))
-    u_s = jax.random.uniform(k_s, (N, 2))
+    if u is not None:
+        u_sel, u_d, u_s = u
+    else:
+        k_sel, k_d, k_s = jax.random.split(key, 3)
+        u_sel = jax.random.uniform(k_sel, (N,))
+        u_d = jax.random.uniform(k_d, (N, 2))
+        u_s = jax.random.uniform(k_s, (N, 2))
 
     p_diff, p_spec = lobe_probabilities(kd, metallic, w_view_l[..., 2])
 

@@ -85,15 +85,26 @@ def sample_direct_mis(
     env_tex: jnp.ndarray,
     env_dist: envlight.EnvDistribution,
     tracer: Tracer,
+    rand=None,
 ) -> LightSample:
     """One-sample NEE+BRDF MIS direct-light sample per pixel (the no-ReSTIR
     baseline; ReSTIR's initial resampling replaces this with 32+1 RIS).
 
     Li is pre-divided by pdf and multiplied by visibility and the MIS weight,
     so shade_direct(Li) is an unbiased estimator of the direct integral.
+
+    rand: optional pre-drawn randoms (rnd_env [N,2], brdf (u_sel,u_d,u_s),
+    pick [N]) — live-lane-compacted callers draw them in pixel space so
+    chunked calls equal the uncompacted call bitwise.
     """
     N = position.shape[0]
-    k_env, k_brdf, k_pick = jax.random.split(key, 3)
+    k_env = k_brdf = None
+    if rand is not None:
+        rnd_env, brdf_u, u_pick = rand
+    else:
+        k_env, k_brdf, k_pick = jax.random.split(key, 3)
+        rnd_env, brdf_u = None, None
+        u_pick = None
 
     alpha = brdf.alpha_from_roughness(roughness)
     w_view = brdf.to_local(-view_dir, normal)
@@ -102,7 +113,7 @@ def sample_direct_mis(
     )
 
     # --- strategy A: envmap importance sample ---
-    rnd = jax.random.uniform(k_env, (N, 2))
+    rnd = rnd_env if rnd_env is not None else jax.random.uniform(k_env, (N, 2))
     ldir, le, lpdf = envlight.sample_li(env_tex, env_dist, rnd)
     w_l = brdf.to_local(ldir, normal)
     bpdf_at_l = brdf.brdf_pdf(w_view, w_l, alpha, p_diff, p_spec)
@@ -115,7 +126,7 @@ def sample_direct_mis(
     Li_env = le * (mis_l * vis_l / jnp.maximum(lpdf, 1e-12))[:, None]
 
     # --- strategy B: BRDF sample toward env ---
-    s = brdf.brdf_sample(k_brdf, w_view, kd, metallic, alpha)
+    s = brdf.brdf_sample(k_brdf, w_view, kd, metallic, alpha, u=brdf_u)
     bdir = brdf.to_global(s.w_light_l, normal)
     lpdf_at_b = envlight.pdf_li(env_dist, bdir)
     mis_b = s.pdf / jnp.maximum(s.pdf + lpdf_at_b, 1e-12)
@@ -130,7 +141,8 @@ def sample_direct_mis(
     # combine: both strategies contribute; we fold them into one LightSample
     # by picking one with probability 1/2 and doubling (keeps the per-pixel
     # sample layout the ReSTIR reservoirs expect, still unbiased)
-    pick_env = jax.random.uniform(k_pick, (N,)) < 0.5
+    pick_env = (u_pick if u_pick is not None
+                else jax.random.uniform(k_pick, (N,))) < 0.5
     dirs = jnp.where(pick_env[:, None], ldir, bdir)
     Li = jnp.where(pick_env[:, None], Li_env, Li_brdf) * 2.0
     ok = jnp.where(pick_env, ok_env, ok_brdf) & mask

@@ -517,10 +517,44 @@ def render_stage1(
                 prev_res = res
                 light = restir_mod.evaluate_final_samples(ctx, res, env_tex, tracer)
         else:
-            light = pathtracer.sample_direct_mis(
-                k_s, sg(xyzs), sg(normal), gb.view_dir, gb.mask, sg(kd_shade),
-                sg(rough), sg(metal), env_tex, env_dist, tracer,
+            # one-sample MIS baseline, also under live-lane compaction.
+            # Randoms are drawn in pixel space with sample_direct_mis's own
+            # key derivation and ride masked_apply's permutation as ordinary
+            # args, so chunked == unchunked bitwise
+            # (test_compact_chunks_equivalence).
+            k_env, k_brdf, k_pick = jax.random.split(k_s, 3)
+            k_sel, k_d, k_s2 = jax.random.split(k_brdf, 3)
+            rnd_env = jax.random.uniform(k_env, (P, 2))
+            u_sel = jax.random.uniform(k_sel, (P,))
+            u_d = jax.random.uniform(k_d, (P, 2))
+            u_s2 = jax.random.uniform(k_s2, (P, 2))
+            u_pick = jax.random.uniform(k_pick, (P,))
+
+            def direct_fn(pos, nrm, vd, m_c, kd_c, r_c, mt_c,
+                          nrm_d, kd_d, r_d, mt_d, re_c, us_c, ud_c, us2_c,
+                          up_c):
+                light_c = pathtracer.sample_direct_mis(
+                    k_s, pos, nrm, vd, m_c, kd_c, r_c, mt_c,
+                    env_tex, env_dist, tracer,
+                    rand=(re_c, (us_c, ud_c, us2_c), up_c),
+                )
+                _, dv, sv = pathtracer.shade_direct(
+                    light_c, m_c, nrm_d, vd, kd_d, r_d, mt_d,
+                    jnp.zeros((pos.shape[0], 3)),
+                )
+                n = pos.shape[0]
+                return dv, sv, jnp.full((n, 1), tracer.pop_telemetry() / n)
+
+            diff_s, spec_s, telem_c = masked_apply(
+                direct_fn, gb.mask,
+                (sg(xyzs), sg(normal), gb.view_dir, gb.mask, sg(kd_shade),
+                 sg(rough), sg(metal), normal, kd_shade, rough, metal,
+                 rnd_env, u_sel, u_d, u_s2, u_pick),
+                fills=(0.0, 0.0, 0.0), chunks=static.compact_chunks,
             )
+            acc_u = acc_u + jnp.sum(telem_c)
+            return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s,
+                    acc_u), None
         color_s, diff_s, spec_s = pathtracer.shade_direct(
             light, gb.mask, normal, gb.view_dir, kd_shade, rough, metal, env_bg
         )

@@ -247,3 +247,75 @@ def test_restir_training_recovers_materials(gt_scene):
         mse = float(jnp.mean((out["image_brdf"] - jnp.asarray(img)) ** 2))
         psnrs.append(-10 * np.log10(max(mse, 1e-9)))
     assert np.mean(psnrs) > 17, f"re-render PSNR {psnrs}"
+
+
+def test_row_band_training_converges_like_full_frame(gt_scene):
+    """VERDICT r2 weak 7: row-band stage-1 training (the stage1_rows memory
+    fallback) changes the data distribution — image-space passes never see
+    cross-band neighbors.  Gate: a banded run must recover the same
+    materials as full-frame training on the same scene."""
+    from mirres_restir_nerf_mesh_tpu.config import Config, finalize
+    from mirres_restir_nerf_mesh_tpu.models.material import (
+        MaterialSpec,
+        sample_material,
+        split_material,
+    )
+    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
+    from mirres_restir_nerf_mesh_tpu.render.stage1 import Stage1Static
+    from mirres_restir_nerf_mesh_tpu.train import stage1
+    from mirres_restir_nerf_mesh_tpu.train.losses import build_topology
+
+    verts, tris, env_gt, frames = gt_scene
+    cfg = finalize(Config(
+        bound=1.0, stage=1, use_brdf=True, use_restir=True, iters=260,
+        spp=2, pt_bounces=2, env_h=16, env_w=32, ssaa=1,
+        lambda_kd=0.0005, lambda_ks=0.0005, lambda_nrm=0.0,
+        lambda_lap=0.0, lambda_normal=0.0, lambda_edgelen=0.0,
+        lambda_offsets=1.0, lambda_mask=0.0, lambda_lpips=0.0,
+    ))
+    nerf_spec = NeRFSpec(
+        bound=1.0, hidden_dim=16, hidden_dim_color=16, geo_feat_dim=7,
+        grid_levels=4, grid_log2_hashmap_size=12, grid_desired_resolution=64,
+    )
+    mat_spec = MaterialSpec(bound=1.0)
+    n_bands = 4
+    Hb = H // n_bands
+    static = Stage1Static(
+        tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+        spp=cfg.spp, bounces=2, use_restir=True, H=Hb, W=W,
+        restir_tiles=16, restir_tile_size=256, restir_light_samples=16,
+        restir_brdf_samples=1, restir_neighbors=3, restir_radius=8.0,
+        restir_offsets=512, denoise_iters=2, antialias=False,
+    )
+    state = stage1.init_state(
+        jax.random.PRNGKey(0), cfg, static,
+        init_nerf(jax.random.PRNGKey(1), nerf_spec), verts.shape[0],
+    )
+    topo = build_topology(tris, verts.shape[0])
+    step = stage1.make_train_step(cfg, static, verts, topo)
+
+    key = jax.random.PRNGKey(2)
+    for i in range(cfg.iters):
+        ro, rd, img, mask = frames[i % len(frames)]
+        band = (i // len(frames)) % n_bands  # cycle bands like trainer.py
+        sl = slice(band * Hb * W, (band + 1) * Hb * W)
+        batch = {
+            "rays_o": ro[sl], "rays_d": rd[sl],
+            "pixels": jnp.asarray(img[sl]),
+            "alpha": jnp.asarray(mask[sl].astype(np.float32)),
+        }
+        key, k = jax.random.split(key)
+        state, aux = step(state, batch, k)
+    assert np.isfinite(float(aux["loss"]))
+
+    pts = jnp.asarray(verts[::7])
+    mat = sample_material(state.params.mat, pts, mat_spec)
+    kd, rough, _ = split_material(mat)
+    kd = np.asarray(kd)
+    scale = np.median(GT_KD[None, :] / np.maximum(kd, 1e-6), axis=0)
+    err = np.abs(kd * scale[None, :] - GT_KD[None, :]).mean()
+    # same gate as the full-frame run: banding must not bias the materials
+    assert err < 0.09, f"banded albedo err {err:.3f}"
+    assert (0.25 < scale).all() and (scale < 4.0).all(), scale
+    rough_err = abs(float(jnp.mean(rough)) - GT_ROUGH)
+    assert rough_err < 0.22, f"banded roughness {float(jnp.mean(rough)):.3f}"
