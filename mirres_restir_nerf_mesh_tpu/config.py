@@ -199,6 +199,8 @@ class Config:
     restir_neighbor_offset_count: int = 8192
     restir_max_history_length: int = 20
     pt_bounces: int = 2           # indirect bounces (reference FinalShading.slang:7)
+    compact_chunks: int = 4       # live-lane compaction chunks for stage-1
+                                  # per-pixel passes (utils/compact.py); 1 = off
 
     # --- TPU parallelism (no reference equivalent; SURVEY.md §2.5) ---
     mesh_shape: Tuple[int, ...] = (1,)       # device mesh, data axis over rays/pixels

@@ -410,6 +410,43 @@ def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int
     return cand, octs, counts, dropped, ent_m[:, :K]
 
 
+def _octant_candidates_blocked(cm: ClusterMesh, rot, rdt, tmt, t_min: float,
+                               k_flat: int):
+    """_octant_candidates with dead-tile-block skipping.
+
+    The frustum test is O(T x 8 x C) interval arithmetic paid by EVERY tile,
+    dead or live — and launches deadened upstream (masked pixels, visibility
+    threading, live-lane compaction tails) arrive with their dead rays
+    sorted to the tail, i.e. whole trailing tile blocks carry only
+    t_max<=0 lanes.  Split the tile axis into static blocks and run each
+    under lax.cond on 'any live ray in block': all-dead blocks return
+    zero candidates at ~zero cost (cond compiles to a real branch), live
+    blocks compute exactly what the unblocked call would — tiles are
+    independent in _octant_candidates, so results are identical."""
+    T_ = rot.shape[0]
+    nb = next((b for b in (8, 4, 2) if T_ % b == 0 and T_ >= 2 * b), 1)
+    if nb == 1:
+        return _octant_candidates(cm, rot, rdt, tmt, t_min, k_flat)
+    tb = T_ // nb
+    outs = []
+    for b in range(nb):
+        sl = slice(b * tb, (b + 1) * tb)
+        rot_b, rdt_b, tmt_b = rot[sl], rdt[sl], tmt[sl]
+
+        def run(rot_b=rot_b, rdt_b=rdt_b, tmt_b=tmt_b):
+            return _octant_candidates(cm, rot_b, rdt_b, tmt_b, t_min, k_flat)
+
+        def skip(run=run):
+            shapes = jax.eval_shape(run)
+            zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            # dropped/entries are 'inf = nothing dropped / padding'
+            return zeros[:3] + (jnp.full(shapes[3].shape, jnp.inf),
+                                jnp.full(shapes[4].shape, jnp.inf))
+
+        outs.append(jax.lax.cond(jnp.any(tmt_b > 0.0), run, skip))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
 def _run_queue(cm: ClusterMesh, cand, octs, counts, dropped, entries, rays_cm,
                *, t_min: float, any_hit: bool, S: int, R: int, q_avg: int,
                w_chunk: int = 49152):
@@ -526,7 +563,16 @@ def _run_queue(cm: ClusterMesh, cand, octs, counts, dropped, entries, rays_cm,
             meta_c = meta_c.at[0].set(
                 meta_c[0] | (cont.astype(jnp.int32) << 1)
             )
-        prev = call(qt[s0:s0 + Wc], qc[s0:s0 + Wc], meta_c, prev)
+        # chunks entirely past the real work are all no-ops: lax.cond skips
+        # the whole pallas_call (W_cap is a static budget, `total` is the
+        # runtime item count — sparse launches stop dispatching at the tail).
+        # A skipped chunk touches no tile, and `lc` below never selects it.
+        prev = jax.lax.cond(
+            s0 < total,
+            lambda qt_c, qc_c, qm_c, pv: call(qt_c, qc_c, qm_c, pv),
+            lambda qt_c, qc_c, qm_c, pv: pv,
+            qt[s0:s0 + Wc], qc[s0:s0 + Wc], meta_c, prev,
+        )
         outs.append(prev)
     # a tile's final state lives in the LAST chunk that touched it
     lc = (off + counts_adj - 1) // Wc                   # [T]
@@ -643,7 +689,7 @@ def tile_trace(
     rdt = rd.reshape(n_tiles, R, 3)
     tmt = tm.reshape(n_tiles, R)
 
-    cand, octs, counts, dropped, entries = _octant_candidates(
+    cand, octs, counts, dropped, entries = _octant_candidates_blocked(
         cm, rot, rdt, tmt, t_min, k_cap
     )
     K = cand.shape[1]

@@ -40,12 +40,20 @@ class Reservoir(NamedTuple):
     W: jnp.ndarray      # [P] unbiased contribution weight
     M: jnp.ndarray      # [P] effective sample count
     valid: jnp.ndarray  # [P] bool
+    # cached target pdf of the winner AT ITS OWN PIXEL's shading context
+    # (p_hat = luminance(Le * f), the value every pass would recompute).
+    # With zero motion vectors the owning pixel never changes, so temporal
+    # reuse and spatial reuse can THREAD this value instead of re-evaluating
+    # the BRDF + envmap tap: exact (same inputs, same formula), and it
+    # deletes one of the three [P*nn] target evaluations plus the [P*nn]
+    # envmap gather per spatial pass.  None = unknown (recompute).
+    p: Optional[jnp.ndarray] = None  # [P]
 
 
 def empty_reservoir(P: int) -> Reservoir:
     return Reservoir(
         dir=jnp.zeros((P, 3)), W=jnp.zeros((P,)), M=jnp.zeros((P,)),
-        valid=jnp.zeros((P,), bool),
+        valid=jnp.zeros((P,), bool), p=jnp.zeros((P,)),
     )
 
 
@@ -225,6 +233,11 @@ def initial_resampling(
         sel_valid & (sel_p > 0), (w_sum / jnp.maximum(M, 1.0)) / jnp.maximum(sel_p, 1e-12), 0.0
     )
     W = jnp.where(jnp.isfinite(W), W, 0.0)
+    # p stays None: initial RIS evaluates its target with the PRESAMPLED
+    # tile Le (bilinear at the tile's jittered uv, GenerateLightTiles), a
+    # different lookup than the nearest-texel target the reuse passes share
+    # — so the winner's sel_p is not reusable as their p_hat (temporal
+    # recomputes p_curr, exactly as the reference re-evaluates it).
     return Reservoir(dir=sel_dir, W=W, M=jnp.ones((P,)), valid=sel_valid & (W > 0))
 
 
@@ -263,9 +276,15 @@ def temporal_resampling(
     prev_M = jnp.where(ok, jnp.minimum(prev.M, max_history * jnp.maximum(curr.M, 1.0)), 0.0)
 
     # stream current then previous through a reservoir (res.slang:115-134);
-    # nearest-texel Le in the target function (see eval_le_nearest)
+    # nearest-texel Le in the target function (see eval_le_nearest).
+    # p_curr is always re-evaluated (initial RIS's sel_p used the tile Le);
+    # p_prev threads the previous pass's cached winner target when carried
+    # (zero motion: prev's owning pixel IS this pixel, same ctx/env/formula)
     p_curr = jnp.where(curr.valid, target_function(ctx, curr.dir, envlight.eval_le_nearest(env_tex, curr.dir)), 0.0)
-    p_prev = jnp.where(ok, target_function(ctx, prev.dir, envlight.eval_le_nearest(env_tex, prev.dir)), 0.0)
+    if prev.p is not None:
+        p_prev = jnp.where(ok, prev.p, 0.0)
+    else:
+        p_prev = jnp.where(ok, target_function(ctx, prev.dir, envlight.eval_le_nearest(env_tex, prev.dir)), 0.0)
 
     w_curr = p_curr * curr.W * curr.M
     w_prev = p_prev * prev.W * prev_M
@@ -280,7 +299,7 @@ def temporal_resampling(
     W = jnp.where(sel_p > 0, w_sum / jnp.maximum(M, 1e-8) / jnp.maximum(sel_p, 1e-12), 0.0)
     W = jnp.where(jnp.isfinite(W), W, 0.0)
     valid = (W > 0) & ctx.mask
-    out = Reservoir(dir=sel_dir, W=W, M=M, valid=valid)
+    out = Reservoir(dir=sel_dir, W=W, M=M, valid=valid, p=sel_p)
     if v_curr is not None and v_prev is not None:
         return out, jnp.where(pick_prev, v_prev, v_curr)
     return out
@@ -303,12 +322,30 @@ def make_neighbor_offsets(key: jax.Array, count: int = 8192, radius: float = 30.
 
 
 def pack_spatial_record(
-    ctx: PixelCtx, res: Reservoir, v_self: Optional[jnp.ndarray] = None
+    ctx: PixelCtx,
+    res: Reservoir,
+    v_self: Optional[jnp.ndarray] = None,
+    *,
+    env_tex: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Pack the per-pixel (ctx, reservoir[, vis]) record spatial reuse
-    gathers from neighbors — ONE wide-row gather of this [P, 22(+1)] table
-    replaces 12 per-field gathers (random row gathers are latency-priced
-    per ROW regardless of width, CLAUDE.md cost model)."""
+    """Pack the per-pixel (ctx, reservoir, p_hat, Le[, vis]) record spatial
+    reuse gathers from neighbors — ONE wide-row gather of this [P, 26(+1)]
+    table replaces 12 per-field gathers (random row gathers are
+    latency-priced per ROW regardless of width, CLAUDE.md cost model).
+
+    Columns 22 (p_hat at the owning pixel) and 23:26 (nearest-texel Le of
+    res.dir) let the spatial pass skip re-evaluating the neighbor's own
+    target function and envmap tap on the [P*nn] axis: both are functions
+    of the neighbor's (ctx, dir, env) only, already known per pixel."""
+    if res.p is not None:
+        p_rec = jnp.where(res.valid, res.p, 0.0)
+    else:
+        p_rec = jnp.where(
+            res.valid,
+            target_function(ctx, res.dir, envlight.eval_le_nearest(env_tex, res.dir)),
+            0.0,
+        )
+    le_rec = envlight.eval_le_nearest(env_tex, res.dir)
     return jnp.concatenate(
         [
             ctx.position, ctx.normal, ctx.view_dir, ctx.kd,
@@ -316,6 +353,7 @@ def pack_spatial_record(
             ctx.mask.astype(jnp.float32)[:, None], ctx.depth[:, None],
             res.dir, res.W[:, None], res.M[:, None],
             res.valid.astype(jnp.float32)[:, None],
+            p_rec[:, None], le_rec,
         ]
         + ([v_self.astype(jnp.float32)[:, None]] if v_self is not None else []),
         axis=1,
@@ -379,9 +417,13 @@ def spatial_resampling(
         start = jax.random.randint(k_off, (P,), 0, offsets.shape[0])
         us_pre = None
 
-    # canonical target pdf (nearest-texel Le: see eval_le_nearest)
+    # canonical target pdf (nearest-texel Le: see eval_le_nearest); threaded
+    # from the previous pass when cached (same pixel/dir/env -> same value)
     le_c = envlight.eval_le_nearest(env_tex, res.dir)
-    p_canon = jnp.where(res.valid, target_function(ctx, res.dir, le_c), 0.0)
+    if res.p is not None:
+        p_canon = jnp.where(res.valid, res.p, 0.0)
+    else:
+        p_canon = jnp.where(res.valid, target_function(ctx, res.dir, le_c), 0.0)
 
     if nn <= 0:
         # no neighbors: spatial reuse is the identity (the reference loop
@@ -402,7 +444,7 @@ def spatial_resampling(
 
     ctx_rep = PixelCtx(*(rep(getattr(ctx, f)) for f in ctx._fields))
     if packed is None:
-        packed = pack_spatial_record(ctx, res, v_self)
+        packed = pack_spatial_record(ctx, res, v_self, env_tex=env_tex)
     if idx_map is not None:
         nidx = idx_map[nidx]
     g = packed[nidx]
@@ -417,8 +459,14 @@ def spatial_resampling(
         n_ctx.mask & n_res.valid & _valid_neighbor(ctx_rep, n_ctx.normal, n_ctx.depth)
     )  # [P*nn]
 
-    le_n = envlight.eval_le_nearest(env_tex, n_res.dir)
-    q_cand = target_function(n_ctx, n_res.dir, le_n)
+    # the neighbor's OWN target (q_cand) and its winner's Le ride the packed
+    # record (cols 22, 23:26) — both are per-pixel quantities the previous
+    # pass already evaluated; only the two genuinely CROSS terms (neighbor
+    # sample at canonical ctx, canonical sample at neighbor ctx) are
+    # evaluated on the [P*nn] axis.  q_cand is validity-gated in the record;
+    # every use below is ok_flat-gated, which implies n_res.valid.
+    le_n = g[:, 23:26]
+    q_cand = g[:, 22]
     q_cand_at_c = target_function(ctx_rep, n_res.dir, le_n)
     q_canon_at_n = target_function(n_ctx, rep(res.dir), rep(le_c))
 
@@ -476,7 +524,7 @@ def spatial_resampling(
                     )
                     vc2 = vc2.at[:, j].set(jnp.where(m, vc2[:, i], vc2[:, j]))
             vis_c = vc2.reshape(-1)
-            vis_n = jnp.where(same, g[:, 22] > 0.5, ~occ2[P * nn :])
+            vis_n = jnp.where(same, g[:, 26] > 0.5, ~occ2[P * nn :])
         else:
             tmax_pair = jnp.where(ok_flat, 1e9, 0.0)
             occ2 = tracer.occluded(
@@ -543,7 +591,10 @@ def spatial_resampling(
         0.0,
     )
     Wn = jnp.where(jnp.isfinite(Wn), Wn, 0.0)
-    out = Reservoir(dir=sel_dir, W=Wn, M=res.M, valid=(Wn > 0) & ctx.mask)
+    # sel_p is the winner's target at THIS pixel's ctx (a picked neighbor's
+    # q_cand_at_c is vis-multiplied, but w=0 candidates are never picked, so
+    # the picked value equals the pure target) — cache it for the next pass
+    out = Reservoir(dir=sel_dir, W=Wn, M=res.M, valid=(Wn > 0) & ctx.mask, p=sel_p)
     if v_self is not None and unbiased and tracer is not None:
         # a picked neighbor had vis_c multiplied into w (w=0 is never picked
         # by `u*w_sum < w`), so it is visible by construction; a canonical

@@ -423,7 +423,7 @@ def render_stage1(
 
             res_t, v_self = chunked_tree(live, Cn, csz, temporal_chunk)
             packed = restir_mod.pack_spatial_record(
-                pctx, res_t, v_self if thread_vis else None
+                pctx, res_t, v_self if thread_vis else None, env_tex=sg(env_tex)
             )
 
             # pass 2: spatial reuse + final eval + shade per chunk (the

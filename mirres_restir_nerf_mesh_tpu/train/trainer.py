@@ -165,6 +165,7 @@ class Trainer:
             compute_normal_ao=cfg.use_brdf and cfg.lambda_extra_kd > 0,
             ssaa=ssaa,
             shard_mesh=self.mesh,
+            compact_chunks=cfg.compact_chunks,
         )
 
         # stage-1 bootstraps from stage-0 best (utils.py:871-873)

@@ -238,3 +238,47 @@ def test_uncertain_telemetry_surfaces_through_tracer():
     assert float(unc2) == 0, "full budget must be certain"
     # and the truncated trace really was wrong about some rays
     assert not np.allclose(np.asarray(t), np.asarray(t2))
+
+
+def test_tile_dead_tail_block_skip_exact():
+    """Dead-lane-heavy launches (visibility threading / compaction tails set
+    t_max=0) run the blocked candidate prep (_octant_candidates_blocked) and
+    the queue's tail-chunk skip; results on live lanes must match a fully
+    live trace ray-for-ray, and dead lanes must never report a hit."""
+    verts, tris = bumpy_sphere(32, 64)
+    cm = cluster_bvh.build_clusters(jnp.asarray(verts), jnp.asarray(tris), 128)
+    C, S = cm.prim.shape
+    rng = np.random.RandomState(3)
+    n = 4096  # 8 tiles of 512 -> blocked prep path (nb in {2,4,8})
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.3
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
+
+    # ~85% dead: after the morton sort (dead to tail) most tile BLOCKS are
+    # fully dead and the prep cond-skips them
+    alive = rng.rand(n) < 0.15
+    tm = jnp.asarray(np.where(alive, 1e9, 0.0).astype(np.float32))
+
+    ref = tile_tracer.tile_trace(cm, rays_o, rays_d, k_cap=C, t_max=1e9)
+    got = tile_tracer.tile_trace(
+        cm, rays_o, rays_d, k_cap=C, t_max=tm, sort_octants="morton"
+    )
+    am = np.asarray(alive)
+    np.testing.assert_array_equal(
+        np.asarray(got.hit.prim)[am], np.asarray(ref.hit.prim)[am]
+    )
+    hitm = am & np.asarray(ref.hit.prim >= 0)
+    np.testing.assert_allclose(
+        np.asarray(got.hit.t)[hitm], np.asarray(ref.hit.t)[hitm], rtol=1e-6
+    )
+    assert not np.any(np.asarray(got.hit.prim)[~am] >= 0)
+
+    # any-hit flavor (the ReSTIR cross-visibility shape)
+    ref_occ = tile_tracer.occluded_tiles(cm, rays_o, rays_d, 1e9, k_cap=C)
+    got_occ = tile_tracer.occluded_tiles(
+        cm, rays_o, rays_d, tm, k_cap=C, sort_octants="morton"
+    )
+    np.testing.assert_array_equal(np.asarray(got_occ)[am], np.asarray(ref_occ)[am])
+    assert not np.any(np.asarray(got_occ)[~am])
