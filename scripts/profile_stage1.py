@@ -1,0 +1,128 @@
+"""Stage-1 frame profiler: time the full ReSTIR frame and config ablations.
+
+The reference ships no profiler; its perf story is whatever nvidia-smi says.
+Here the bench frame (same scene/config as bench.py) is timed end-to-end
+and, with --ablate, re-timed under single-knob config changes so the frame
+budget can be attributed (the CLAUDE.md cost-model numbers come from this).
+
+Timing methodology (CLAUDE.md): the tunnel costs ~29 ms per scalar fetch
+and ~21 ms per dispatch, so each variant is timed over whole frames with
+ONE scalar fetch per frame, min of --iters repeats.
+
+Usage:
+  python scripts/profile_stage1.py                 # full frame only
+  python scripts/profile_stage1.py --ablate        # + knob ablations
+  python scripts/profile_stage1.py --hw 800 --spp 4 --tris 105000
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, default=256, help="square image size")
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--tris", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ablate", action="store_true",
+                    help="re-time under single-knob config changes")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
+    from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec, init_material
+    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec, init_nerf
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
+    from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
+    from mirres_restir_nerf_mesh_tpu.render.stage1 import (
+        Stage1Params, Stage1Static, render_stage1,
+    )
+
+    # bench.py's scene: bumpy blob mesh + sky/sun HDR (see bench.py docstring)
+    n = 96
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    field = 0.55 + 0.06 * np.sin(9 * X) * np.sin(7 * Y) * np.cos(5 * Z) - r
+    verts, tris = marching_tets(
+        field, 0.0, origin=(-1, -1, -1), spacing=(2 / (n - 1),) * 3
+    )
+    verts, tris = decimate(verts, tris, args.tris)
+
+    H = W = args.hw
+    data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=1.0)
+    f = RayDataset(data, bound=1.0).frame_rays(0)
+    key = jax.random.PRNGKey(0)
+    nerf_spec = NeRFSpec(bound=1.0, compute_dtype=jnp.bfloat16)
+    mat_spec = MaterialSpec(bound=1.0, compute_dtype=jnp.bfloat16)
+    eh, ew = 64, 128
+    theta = (np.arange(eh) + 0.5) / eh * np.pi
+    sky = np.clip(np.cos(theta), 0, None)[:, None] ** 1.5
+    env_np = np.tile((0.08 + 0.5 * sky)[:, :, None], (1, ew, 3)).astype(np.float32)
+    env_np[6:9, 30:34] = [60.0, 55.0, 45.0]
+    env_np[eh - 10:] *= [1.15, 0.9, 0.7]
+    params = Stage1Params(
+        nerf=init_nerf(key, nerf_spec), offsets=jnp.zeros((verts.shape[0], 3)),
+        mat=init_material(key, mat_spec), env=jnp.asarray(env_np),
+    )
+    bv = jnp.asarray(verts)
+    base = dict(
+        tris=jnp.asarray(tris), nerf_spec=nerf_spec, mat_spec=mat_spec,
+        spp=args.spp, bounces=args.bounces, use_restir=True, H=H, W=W,
+        restir_tiles=128, restir_tile_size=1024,
+        restir_light_samples=32, restir_brdf_samples=1,
+        restir_neighbors=5, restir_radius=30.0, restir_offsets=8192,
+        denoise_iters=4,
+    )
+
+    def frame(name, **over):
+        cfg = dict(base)
+        cfg.update(over)
+        static = Stage1Static(**cfg)
+
+        @jax.jit
+        def run(p, ro, rd, k):
+            out = render_stage1(p, static, bv, ro, rd, k)
+            return jnp.sum(out["image_brdf"]), out["uncertain_count"]
+
+        s, u = run(params, f["rays_o"], f["rays_d"], key)
+        float(s)  # compile + settle
+        ts = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            s, u = run(params, f["rays_o"], f["rays_d"], jax.random.fold_in(key, i))
+            float(s)
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:44s} {min(ts) * 1e3:8.1f} ms   uncertain {float(u):.0f}",
+              flush=True)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    print(f"scene: {tris.shape[0]} tris, {H}x{W}, spp {args.spp}, "
+          f"bounces {args.bounces}", flush=True)
+    frame("full frame")
+    if args.ablate:
+        # single-knob deltas attribute the frame budget; each knob's saving
+        # is (full - variant).  See CLAUDE.md for the running conclusions.
+        frame("spp 1", spp=1)
+        frame("bounces 0 (no indirect)", bounces=0)
+        frame("bounces 1", bounces=1)
+        frame("biased spatial (no cross-vis)", restir_unbiased_spatial=False)
+        frame("no spatial (0 neighbors)", restir_neighbors=0)
+        frame("no denoise", denoise_iters=0)
+        frame("no antialias", antialias=False)
+        frame("no compaction", compact_chunks=1)
+        frame("compact chunks 8", compact_chunks=8)
+        frame("no restir (1-sample MIS)", use_restir=False)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
