@@ -318,8 +318,11 @@ def build_sampler(tex: jnp.ndarray, m: int = 65536) -> EnvSampler:
     p = weight / jnp.sum(weight)
     cdf = jnp.cumsum(p)
     qs = (jnp.arange(m, dtype=jnp.float32) + 0.5) / m
+    # both sides are sorted: the sort-based lowering is one fused sort
+    # (~1 ms/655k pairs, CLAUDE.md cost model) instead of log2(H*W) rounds
+    # of [m] binary-search gathers, with identical results
     table = jnp.clip(
-        jnp.searchsorted(cdf, qs, side="right"), 0, H * W - 1
+        jnp.searchsorted(cdf, qs, side="right", method="sort"), 0, H * W - 1
     ).astype(jnp.int32)
     cnt = jnp.zeros((H * W,), jnp.float32).at[table].add(1.0)
     omega = (2 * jnp.pi / W) * (jnp.pi / H) * sin_t[:, None]          # [H,W]

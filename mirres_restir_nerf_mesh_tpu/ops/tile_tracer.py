@@ -317,22 +317,13 @@ def _queue_kernel(qt_ref, qc_ref, qm_ref, geom_ref, rays_ref, prev_ref,
                 out_ref[0, 4, :] = jnp.where(better, cid, out_ref[0, 4, :])
 
 
-def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int):
-    """Conservative per-(tile, octant) candidate clusters, merged per tile.
+HIER_MIN_C = 1536   # clusters above which candidate prep goes two-level
+HIER_KEEP = 96      # superclusters expanded per tile (= 768 child clusters)
 
-    rot/rdt [T,R,3], tmt [T,R] ->
-      cand [T,K] int32 cluster ids (entry-sorted, repeat-padded),
-      octs [T,K] int32 owning octant of each candidate,
-      counts [T] int32 valid prefix length,
-      dropped [T] f32 entry lower bound of the first candidate dropped by
-        the budget (inf if none dropped): per-tile exactness bound,
-      entries [T,K] f32 conservative entry t of each kept candidate (inf on
-        padding) — the queue path uses these to extend the dropped bound
-        when its global work budget truncates a tile.
-    """
-    T_, R, _ = rot.shape
-    C = cm.aabb_min.shape[0]
 
+def _tile_frustums(rot, rdt, tmt):
+    """Per-tile conservative frustums: origin box, t ceiling, per-octant
+    sign-clamped inverse-direction boxes, octant presence."""
     live = tmt > 0.0
     o_lo = jnp.min(jnp.where(live[..., None], rot, jnp.inf), axis=1)    # [T,3]
     o_hi = jnp.max(jnp.where(live[..., None], rot, -jnp.inf), axis=1)
@@ -363,38 +354,119 @@ def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int
     d_hi = jnp.where(bits[None], jnp.maximum(d_hi, eps), jnp.minimum(d_hi, -eps))
     i_lo = 1.0 / d_hi                                                   # [T,8,3]
     i_hi = 1.0 / d_lo
+    return o_lo, o_hi, t_hi, i_lo, i_hi, present
 
-    # interval product of (aabb plane offsets) x (inverse directions)
-    s_lo = (cm.aabb_min[None] - o_hi[:, None])[:, None]                 # [T,1,C,3]
-    s_hi = (cm.aabb_max[None] - o_lo[:, None])[:, None]
+
+def _frustum_hits(o_lo, o_hi, t_hi, i_lo, i_hi, present, bmin, bmax,
+                  t_min: float):
+    """Conservative interval slab test of per-tile octant frustums against
+    boxes.  bmin/bmax: [T, W, 3] (per-tile candidate boxes) or [1, W, 3]
+    (shared).  Returns (hit [T,8,W], t0_lb [T,8,W])."""
+    s_lo = (bmin - o_hi[:, None])[:, None]                              # [T,1,W,3]
+    s_hi = (bmax - o_lo[:, None])[:, None]
     il = i_lo[:, :, None]                                               # [T,8,1,3]
     ih = i_hi[:, :, None]
     p1, p2, p3, p4 = s_lo * il, s_lo * ih, s_hi * il, s_hi * ih
-    p_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))        # [T,8,C,3]
+    p_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))        # [T,8,W,3]
     p_hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
-    t0_lb = jnp.max(p_lo, axis=-1)                                      # [T,8,C]
+    t0_lb = jnp.max(p_lo, axis=-1)                                      # [T,8,W]
     t1_ub = jnp.min(p_hi, axis=-1)
     hit = (
         present[..., None]
         & (t1_ub >= jnp.maximum(t0_lb, t_min))
         & (t0_lb <= t_hi[:, None, None])
     )
-    entry_b = jnp.where(hit, jnp.maximum(t0_lb, 0.0), jnp.inf)          # [T,8,C]
+    return hit, t0_lb
+
+
+def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int):
+    """Conservative per-(tile, octant) candidate clusters, merged per tile.
+
+    rot/rdt [T,R,3], tmt [T,R] ->
+      cand [T,K] int32 cluster ids (entry-sorted, repeat-padded),
+      octs [T,K] int32 owning octant of each candidate,
+      counts [T] int32 valid prefix length,
+      dropped [T] f32 entry lower bound of the first candidate dropped by
+        the budget (inf if none dropped): per-tile exactness bound,
+      entries [T,K] f32 conservative entry t of each kept candidate (inf on
+        padding) — the queue path uses these to extend the dropped bound
+        when its global work budget truncates a tile.
+
+    When C > HIER_MIN_C the test runs TWO-LEVEL: a coarse pass over the
+    supercluster union boxes (SC = C/8) picks each tile's HIER_KEEP nearest
+    superclusters, whose children (one wide-row gather of cm.child_boxes)
+    feed the fine pass — prep stays ~flat in C instead of O(T x 8 x C).
+    Conservative: a child box is inside its union box, so a coarse miss is
+    a true miss; superclusters cut by the keep budget extend the `dropped`
+    exactness bound with their entry lower bound (their children's entries
+    can only be larger).
+    """
+    T_, R, _ = rot.shape
+    C = cm.aabb_min.shape[0]
+
+    fr = _tile_frustums(rot, rdt, tmt)
+    o_lo, o_hi, t_hi, i_lo, i_hi, present = fr
+
+    sc_dropped = jnp.full((T_,), jnp.inf)
+    if C > HIER_MIN_C and cm.sc_min.shape[0] >= 2:
+        from .cluster_bvh import SC_GROUP as G
+
+        SC = cm.sc_min.shape[0]
+        hit_sc, t0_sc = _frustum_hits(
+            *fr, cm.sc_min[None], cm.sc_max[None], t_min
+        )                                                               # [T,8,SC]
+        entry_sc = jnp.min(
+            jnp.where(hit_sc, jnp.maximum(t0_sc, 0.0), jnp.inf), axis=1
+        )                                                               # [T,SC]
+        KS = min(HIER_KEEP, SC)
+        ks_sel = min(KS + 1, SC)
+        neg_sc, sidx = jax.lax.top_k(-entry_sc, ks_sel)
+        ent_sc = -neg_sc
+        if ks_sel > KS:
+            sc_full = jnp.isfinite(ent_sc[:, KS - 1])  # kept set saturated
+            sc_dropped = jnp.where(sc_full, ent_sc[:, ks_sel - 1], jnp.inf)
+        sidx = sidx[:, :KS].astype(jnp.int32)
+        cb = cm.child_boxes[sidx]                      # [T,KS,G*6] one gather
+        cb = cb.reshape(T_, KS, G, 6)
+        bmin = cb[..., 0:3].reshape(T_, KS * G, 3)
+        bmax = cb[..., 3:6].reshape(T_, KS * G, 3)
+        cids = (sidx[:, :, None] * G + jnp.arange(G)[None, None, :]).reshape(
+            T_, KS * G
+        )
+        # padding children (inverted boxes) would pass the interval slab test
+        # with a huge [s_lo, s_hi] span — mask them out by index instead
+        valid_child = cids < C
+        cids = jnp.minimum(cids, C - 1)
+        hit, t0_lb = _frustum_hits(*fr, bmin, bmax, t_min)
+        hit = hit & valid_child[:, None, :]
+        W = KS * G
+    else:
+        hit, t0_lb = _frustum_hits(
+            *fr, cm.aabb_min[None], cm.aabb_max[None], t_min
+        )
+        cids = None
+        W = C
+
+    entry_b = jnp.where(hit, jnp.maximum(t0_lb, 0.0), jnp.inf)          # [T,8,W]
 
     # dedup across octants: each cluster appears once per tile, carrying the
     # bitmask of octants whose frustum sees it (the kernel bit-tests rays)
-    entry = jnp.min(entry_b, axis=1)                                    # [T,C]
+    entry = jnp.min(entry_b, axis=1)                                    # [T,W]
     octmask = jnp.sum(
         jnp.where(hit, jnp.left_shift(1, jnp.arange(8))[None, :, None], 0),
         axis=1,
-    ).astype(jnp.int32)                                                 # [T,C]
+    ).astype(jnp.int32)                                                 # [T,W]
 
-    K = min(k_flat, C)
-    k_sel = min(K + 1, C)
+    K = min(k_flat, W)
+    k_sel = min(K + 1, W)
     negm, midx = jax.lax.top_k(-entry, k_sel)
     ent_m = -negm                                                       # [T,k_sel]
-    cand = midx[:, :K].astype(jnp.int32)
-    octs = jnp.take_along_axis(octmask, cand, axis=1)
+    sel_w = midx[:, :K]
+    octs = jnp.take_along_axis(octmask, sel_w, axis=1)
+    if cids is None:
+        cand = sel_w.astype(jnp.int32)
+    else:
+        cand = jnp.take_along_axis(cids, sel_w, axis=1).astype(jnp.int32)
     finite = jnp.isfinite(ent_m[:, :K])
     counts = jnp.sum(finite, axis=1).astype(jnp.int32)
     dropped = (
@@ -402,6 +474,7 @@ def _octant_candidates(cm: ClusterMesh, rot, rdt, tmt, t_min: float, k_flat: int
         if k_sel > K
         else jnp.full((T_,), jnp.inf)
     )
+    dropped = jnp.minimum(dropped, sc_dropped)
     # repeat the last valid candidate into the padding so the pipelined DMA
     # revisits the same block (elided copy) instead of fetching junk
     last = jnp.take_along_axis(cand, jnp.clip(counts - 1, 0, K - 1)[:, None], axis=1)

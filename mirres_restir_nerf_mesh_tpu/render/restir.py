@@ -115,13 +115,25 @@ def initial_resampling(
     n_light_samples: int = 32,
     n_brdf_samples: int = 1,
     check_visibility: bool = True,
+    rand=None,
 ) -> Reservoir:
-    """RIS over light-tile + BRDF candidates (InitialResampling.slang:149-295)."""
+    """RIS over light-tile + BRDF candidates (InitialResampling.slang:149-295).
+
+    rand: optional pre-drawn randoms (tile_id [P] int32, blk [P] int32,
+    us [(n_light+n_brdf), P], brdf_us list of (u_sel, u_d, u_s) per BRDF
+    sample) — live-lane-compacted callers draw them in pixel space so
+    chunked calls equal the uncompacted call bitwise (requires the packed
+    candidate-block fast path, S % n_light_samples == 0; the strided slow
+    path keeps internal key draws)."""
     P = ctx.position.shape[0]
     T, S = tiles.pdf.shape
     k_tile, k_off, k_u, k_brdf, k_ub = jax.random.split(key, 5)
 
-    tile_id = jax.random.randint(k_tile, (P,), 0, T)
+    if rand is not None:
+        tile_id, blk_r, us_r, brdf_us = rand
+    else:
+        blk_r = us_r = brdf_us = None
+        tile_id = jax.random.randint(k_tile, (P,), 0, T)
 
     ratio = n_brdf_samples / max(n_light_samples + n_brdf_samples, 1)
 
@@ -138,7 +150,9 @@ def initial_resampling(
     sel_p = jnp.zeros((P,))  # targetPdf of selected
     sel_valid = jnp.zeros((P,), bool)
 
-    us = jax.random.uniform(k_u, (n_light_samples + n_brdf_samples, P))
+    us = us_r if us_r is not None else jax.random.uniform(
+        k_u, (n_light_samples + n_brdf_samples, P)
+    )
 
     def mixed_source_pdf(ldir, lpdf):
         if n_brdf_samples > 0:
@@ -159,7 +173,9 @@ def initial_resampling(
     n = n_light_samples
     if n > 0 and S % n == 0:
         blocks = table.reshape(T * (S // n), n * 7)
-        blk = jax.random.randint(k_off, (P,), 0, S // n)
+        blk = blk_r if blk_r is not None else jax.random.randint(
+            k_off, (P,), 0, S // n
+        )
         rows = blocks[tile_id * (S // n) + blk].reshape(P, n, 7)  # [P,n,7]
 
         def light_body(carry, i):
@@ -205,7 +221,10 @@ def initial_resampling(
 
     for j in range(n_brdf_samples):
         kb = jax.random.fold_in(k_brdf, j)
-        s = brdf.brdf_sample(kb, w_view, ctx.kd, ctx.metallic, alpha)
+        s = brdf.brdf_sample(
+            kb, w_view, ctx.kd, ctx.metallic, alpha,
+            u=brdf_us[j] if brdf_us is not None else None,
+        )
         ldir = brdf.to_global(s.w_light_l, ctx.normal)
         le = envlight.eval_le_nearest(env_tex, ldir)
         p_hat = jnp.where(s.valid, target_function(ctx, ldir, le), 0.0)

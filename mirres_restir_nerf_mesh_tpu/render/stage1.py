@@ -297,12 +297,49 @@ def render_stage1(
     if static.use_restir:
         # --- batched initial RIS for all spp; the winner-visibility rays are
         # FUSED into the indirect pass's first NEE launch below (both are
-        # ready before the spp chain starts — one tracer call, denser tiles)
+        # ready before the spp chain starts — one tracer call, denser tiles).
+        # Runs under live-lane compaction: the per-pixel candidate-block
+        # gather + 33 target evals are pure waste on masked lanes (fills
+        # produce an invalid empty reservoir, exactly what a dead pixel's
+        # RIS yields anyway).  Randoms are pre-drawn in pixel space and ride
+        # the permutation as ordinary args, so chunked == unchunked bitwise
+        # (test_restir_chain_chunk_equivalence).
         ctx_b = restir_mod.PixelCtx(*(tile_spp(getattr(ctx, f)) for f in ctx._fields))
-        res0_b = restir_mod.initial_resampling(
-            jax.random.fold_in(k_di, 1), ctx_b, tiles, sg(env_tex), env_dist,
-            tracer=None, n_light_samples=static.restir_light_samples,
-            n_brdf_samples=static.restir_brdf_samples, check_visibility=False,
+        Nb = SPP * P
+        k_init = jax.random.fold_in(k_di, 1)
+        ki_t, ki_b, ki_u, ki_s = jax.random.split(k_init, 4)
+        nl = static.restir_light_samples
+        nbs = static.restir_brdf_samples
+        i_tile = jax.random.randint(ki_t, (Nb,), 0, static.restir_tiles)
+        i_blk = jax.random.randint(
+            ki_b, (Nb,), 0, max(static.restir_tile_size // max(nl, 1), 1)
+        )
+        i_us = jax.random.uniform(ki_u, (Nb, nl + nbs))      # [Nb, n] rowwise
+        i_bu = jax.random.uniform(ki_s, (Nb, max(nbs, 1) * 5))
+
+        def initial_fn(tid_c, blk_c, us_c, bu_c, *ctx_fields):
+            ctx_c = restir_mod.PixelCtx(*ctx_fields)
+            bus = [
+                (bu_c[:, j * 5], bu_c[:, j * 5 + 1:j * 5 + 3],
+                 bu_c[:, j * 5 + 3:j * 5 + 5])
+                for j in range(nbs)
+            ]
+            r = restir_mod.initial_resampling(
+                k_init, ctx_c, tiles, sg(env_tex), env_dist,
+                tracer=None, n_light_samples=nl, n_brdf_samples=nbs,
+                check_visibility=False,
+                rand=(tid_c[:, 0], blk_c[:, 0], us_c.T, bus),
+            )
+            return r.dir, r.W[:, None], r.M[:, None], r.valid.astype(jnp.float32)[:, None]
+
+        r_dir, r_w, r_m, r_v = masked_apply(
+            initial_fn, ctx_b.mask,
+            (i_tile[:, None], i_blk[:, None], i_us, i_bu)
+            + tuple(getattr(ctx_b, f) for f in ctx_b._fields),
+            fills=(0.0, 0.0, 0.0, 0.0), chunks=static.compact_chunks,
+        )
+        res0_b = restir_mod.Reservoir(
+            dir=r_dir, W=r_w[:, 0], M=r_m[:, 0], valid=r_v[:, 0] > 0.5
         )
         init_occ_rays = (
             ctx_b.position + ctx_b.normal * 1e-4,

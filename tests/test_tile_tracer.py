@@ -282,3 +282,51 @@ def test_tile_dead_tail_block_skip_exact():
     )
     np.testing.assert_array_equal(np.asarray(got_occ)[am], np.asarray(ref_occ)[am])
     assert not np.any(np.asarray(got_occ)[~am])
+
+
+def test_tile_supercluster_hierarchy_exact(monkeypatch):
+    """Two-level candidate prep (supercluster coarse pass + child expansion,
+    used when C > HIER_MIN_C) must reproduce the single-level trace exactly
+    when budgets are full — closest hit AND any-hit, coherent and
+    incoherent batches."""
+    verts, tris = bumpy_sphere(48, 96)
+    cm = cluster_bvh.build_clusters(jnp.asarray(verts), jnp.asarray(tris), 128)
+    C, S = cm.prim.shape
+    assert C >= 16, "fixture needs several superclusters"
+
+    rng = np.random.RandomState(9)
+    n = 2048
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.4
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
+
+    ref = tile_tracer.tile_trace(cm, rays_o, rays_d, k_cap=C)
+    assert not bool(jnp.any(ref.uncertain))
+
+    # force the hierarchical path; keep ALL superclusters (exactness budget)
+    monkeypatch.setattr(tile_tracer, "HIER_MIN_C", 1)
+    monkeypatch.setattr(tile_tracer, "HIER_KEEP", int(cm.sc_min.shape[0]))
+    got = tile_tracer.tile_trace(cm, rays_o, rays_d, k_cap=C)
+    assert not bool(jnp.any(got.uncertain))
+    np.testing.assert_array_equal(np.asarray(got.hit.prim), np.asarray(ref.hit.prim))
+    hitm = np.asarray(ref.hit.prim >= 0)
+    np.testing.assert_allclose(
+        np.asarray(got.hit.t)[hitm], np.asarray(ref.hit.t)[hitm], rtol=1e-6
+    )
+
+    ref_occ = tile_tracer.occluded_tiles(cm, rays_o, rays_d, 1e9, k_cap=C)
+    got_occ = tile_tracer.occluded_tiles(
+        cm, rays_o, rays_d, 1e9, k_cap=C, sort_octants="morton"
+    )
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(ref_occ))
+
+    # a tight supercluster keep-budget must surface in `uncertain`, not
+    # silently corrupt: rays whose nearest supercluster got cut are flagged
+    monkeypatch.setattr(tile_tracer, "HIER_KEEP", 1)
+    cut = tile_tracer.tile_trace(cm, rays_o, rays_d, k_cap=C)
+    wrong = np.asarray(cut.hit.prim) != np.asarray(ref.hit.prim)
+    unc = np.asarray(cut.uncertain)
+    assert unc.any(), "cut supercluster budget must report uncertainty"
+    assert not (wrong & ~unc).any(), "every wrong ray must be flagged uncertain"
