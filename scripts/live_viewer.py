@@ -29,16 +29,18 @@ PAGE = """<!doctype html>
 body{margin:0;background:#111;color:#ddd;font-family:monospace}
 #v{display:block;margin:12px auto;border:1px solid #333;cursor:grab}
 #s{text-align:center}</style></head><body>
-<div id=s>drag to orbit &middot; wheel to zoom &middot; <span id=t></span></div>
+<div id=s>drag to orbit &middot; wheel to zoom &middot;
+<select id=m>__MODES__</select> &middot; <span id=t></span></div>
 <img id=v width=__W__ height=__H__>
 <script>
 let th=1.2, ph=0.5, r=2.2, busy=false, dirty=true;
 const img=document.getElementById('v'), lab=document.getElementById('t');
+const sel=document.getElementById('m'); sel.onchange=()=>dirty=true;
 function tick(){
   if(!busy && dirty){
     busy=true; dirty=false;
     const t0=performance.now();
-    const u=`/render?theta=${th.toFixed(3)}&phi=${ph.toFixed(3)}&radius=${r.toFixed(3)}&_=${Math.random()}`;
+    const u=`/render?theta=${th.toFixed(3)}&phi=${ph.toFixed(3)}&radius=${r.toFixed(3)}&mode=${sel.value}&_=${Math.random()}`;
     const i=new Image();
     i.onload=()=>{img.src=i.src;lab.textContent=`${(performance.now()-t0).toFixed(0)} ms`;busy=false;};
     i.onerror=()=>{busy=false;};
@@ -98,16 +100,58 @@ def main() -> None:
     trainer = Trainer("ngp", cfg, data)
     lock = threading.Lock()
 
-    def render(theta: float, phi: float, radius: float) -> np.ndarray:
+    # buffer modes: the reference GUI's mode combo ('image', 'depth') +
+    # shading combo ('full', 'diffuse', 'specular') (nerf/gui.py:305,312),
+    # extended with the material/normal G-buffers stage 1 already returns
+    if args.stage == 0:
+        modes = ("image", "depth")
+    else:
+        modes = ("image_brdf", "image", "depth", "normal", "kd", "ks",
+                 "diffuse", "specular", "indirect")
+        if not args.use_brdf:
+            modes = ("image",) + tuple(m for m in modes if m != "image")
+
+    def _viz(out: dict, mode: str) -> np.ndarray:
+        m = np.asarray(out["mask"]).reshape(H, W, 1) if "mask" in out else None
+        if mode == "depth":
+            d = np.asarray(out["depth"]).reshape(H, W, 1)
+            live = d[np.isfinite(d) & (d > 0)] if m is None else d[m[..., 0] > 0.5]
+            lo, hi = (live.min(), live.max()) if live.size else (0.0, 1.0)
+            d = np.where(np.isfinite(d), (d - lo) / max(hi - lo, 1e-6), 1.0)
+            return np.repeat(1.0 - np.clip(d, 0, 1), 3, axis=-1)
+        if mode == "normal":
+            n = np.asarray(out["normal"]).reshape(H, W, 3)
+            return np.where(m > 0.5, n * 0.5 + 0.5, 1.0)
+        if mode == "kd":
+            return np.where(m > 0.5, np.asarray(out["kd"]).reshape(H, W, 3), 1.0)
+        if mode == "ks":
+            return np.where(m > 0.5, np.asarray(out["ks"]).reshape(H, W, 3), 1.0)
+        if mode == "diffuse":
+            kd = np.asarray(out["kd"]).reshape(H, W, 3)
+            metal = np.asarray(out["ks"]).reshape(H, W, 3)[..., 2:3]
+            dl = np.asarray(out["diffuse_light"]).reshape(H, W, 3)
+            return np.where(m > 0.5, kd * (1 - metal) * dl, 1.0)
+        if mode == "specular":
+            sl = np.asarray(out["specular_light"]).reshape(H, W, 3)
+            return np.where(m > 0.5, sl, 1.0)
+        if mode == "indirect":
+            il = np.asarray(out["img_brdf_indirect"]).reshape(H, W, 3)
+            return np.where(m > 0.5, il, 1.0)
+        return np.asarray(out[mode]).reshape(H, W, 3)
+
+    def render(theta: float, phi: float, radius: float, mode: str) -> np.ndarray:
+        mode = mode if mode in modes else modes[0]
         pose = jnp.asarray(orbit_pose(theta, phi, radius=radius))
         rays = get_rays(pose[None], intr, H, W)
         with lock:
             if args.stage == 0:
                 from mirres_restir_nerf_mesh_tpu.train import stage0
 
-                img, _ = stage0.render_frame(
+                img, depth = stage0.render_frame(
                     trainer.state, trainer.render_fn, rays["rays_o"], rays["rays_d"], H, W
                 )
+                out = {"image": img, "depth": depth}
+                img = _viz(out, mode)
             else:
                 from mirres_restir_nerf_mesh_tpu.render.stage1 import render_stage1
 
@@ -116,8 +160,7 @@ def main() -> None:
                     jnp.asarray(trainer.base_verts),
                     rays["rays_o"], rays["rays_d"], jax.random.PRNGKey(0),
                 )
-                key = "image_brdf" if args.use_brdf else "image"
-                img = np.asarray(out[key]).reshape(H, W, 3)
+                img = _viz(out, mode)
         return np.clip(np.asarray(img, np.float32), 0, 1)
 
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -132,7 +175,11 @@ def main() -> None:
         def do_GET(self):
             u = urlparse(self.path)
             if u.path == "/":
-                body = PAGE.replace("__W__", str(W)).replace("__H__", str(H)).encode()
+                opts = "".join(f"<option>{m}</option>" for m in modes)
+                body = (
+                    PAGE.replace("__W__", str(W)).replace("__H__", str(H))
+                    .replace("__MODES__", opts).encode()
+                )
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()
@@ -144,6 +191,7 @@ def main() -> None:
                     float(q.get("theta", [1.2])[0]),
                     float(q.get("phi", [0.5])[0]),
                     float(q.get("radius", [2.2])[0]),
+                    q.get("mode", [modes[0]])[0],
                 )
                 buf = io.BytesIO()
                 Image.fromarray((img * 255).astype(np.uint8)).save(buf, "JPEG", quality=90)
