@@ -271,6 +271,8 @@ class Trainer:
                 last = {
                     k: float(v) for k, v in aux.items() if getattr(v, "ndim", 0) == 0
                 }
+                if cfg.stage == 0 and cfg.adaptive_num_rays:
+                    self._adapt_num_rays(last.get("num_points", 0.0))
                 if last.get("uncertain_count", 0.0) > 0:
                     # tile-tracer budget truncation: results may silently miss
                     # hits; raise k_cap / k_cap_incoherent (Stage1Static)
@@ -297,6 +299,32 @@ class Trainer:
                 if metric > self.best_metric:
                     self.best_metric = metric
                     self.save_checkpoint(best=True)
+
+    def _adapt_num_rays(self, num_points: float) -> bool:
+        """Reference adaptive_num_rays (-O, utils.py:1133-1134): grow the ray
+        batch so each step fills the num_points sample budget once the
+        trained occupancy thins the per-ray sample count.  Static shapes mean
+        a changed batch is a recompile, so growth is bucketed (power-of-two
+        multiples of the starting count, grow-only, capped) — at most a
+        handful of recompiles per run, each cached thereafter."""
+        cfg = self.cfg
+        if num_points <= 0:
+            return False
+        cap = max(cfg.num_rays, 2 ** 14)
+        desired = cfg.num_rays * cfg.num_points / num_points
+        grew = False
+        while cfg.num_rays * 2 <= min(desired, cap):
+            cfg.num_rays *= 2  # doubling keeps DP divisibility
+            grew = True
+        if grew:
+            self.log(
+                f"[adaptive] num_points {num_points:.0f}/{cfg.num_points} -> "
+                f"num_rays {cfg.num_rays} (rebuilding train step)"
+            )
+            self.train_step = stage0.make_train_step(
+                cfg, self.nerf_spec, self.sampler, mesh=self.mesh
+            )
+        return grew
 
     def _stage1_batch(self, i: int) -> Dict[str, jnp.ndarray]:
         ssaa = max(int(self.cfg.ssaa), 1)

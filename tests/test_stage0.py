@@ -138,3 +138,42 @@ def test_compacted_render_matches_dense():
     g2 = jax.grad(loss)(params, 1024)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_adaptive_num_rays_grows_bucketed(tmp_path):
+    """Reference adaptive_num_rays (-O, utils.py:1133-1134): when the trained
+    occupancy thins per-ray samples, the ray batch grows (power-of-two
+    buckets, grow-only, capped) and the train step is rebuilt at the new
+    static shape."""
+    from mirres_restir_nerf_mesh_tpu.train.trainer import Trainer
+
+    cfg = finalize(Config(
+        workspace=str(tmp_path / "ws"), stage=0, bound=1.0, iters=10,
+        num_rays=1024, num_points=2 ** 14, adaptive_num_rays=True,
+        hash_levels=4, hash_log2_size=12, hash_max_res=32,
+        samples_per_ray=16, max_steps=32, grid_size=32, data_parallel=False,
+    ))
+    data = make_synthetic_dataset(n_frames=2, H=32, W=32, bound=1.0)
+    tr = Trainer("ngp", cfg, data)
+    step_before = tr.train_step
+
+    # early training: budget saturated -> no growth
+    assert not tr._adapt_num_rays(float(cfg.num_points))
+    assert cfg.num_rays == 1024 and tr.train_step is step_before
+
+    # thinned occupancy: 4 points/ray at a 16k budget -> grow to the cap
+    assert tr._adapt_num_rays(4.0 * 1024)
+    assert cfg.num_rays == 4096  # 1024 * budget/points = 4x, bucketed
+    assert tr.train_step is not step_before
+
+    # grow-only: denser steps never shrink the batch
+    assert not tr._adapt_num_rays(float(cfg.num_points) * 2)
+    assert cfg.num_rays == 4096
+
+    # cap: never beyond max(start, 2^14)
+    tr._adapt_num_rays(1.0)
+    assert cfg.num_rays <= 2 ** 14
+
+    # the rebuilt step runs at the new shape
+    tr.state, aux = tr.train_step(tr.state, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
