@@ -32,10 +32,20 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ablate", action="store_true",
                     help="re-time under single-knob config changes")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated substrings: run only matching ablations")
     args = ap.parse_args()
+
+    import os
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 
     import jax
     import jax.numpy as jnp
+
+    # share bench.py's persistent compile cache (repeat ablations warm-start)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
     from mirres_restir_nerf_mesh_tpu.models.material import MaterialSpec, init_material
@@ -83,7 +93,11 @@ def main() -> None:
         denoise_iters=4,
     )
 
+    only = [s.strip() for s in args.only.split(",") if s.strip()]
+
     def frame(name, **over):
+        if only and name != "full frame" and not any(s in name for s in only):
+            return
         cfg = dict(base)
         cfg.update(over)
         static = Stage1Static(**cfg)
