@@ -12,16 +12,18 @@ import os
 import sys
 
 import numpy as np
+from PIL import Image
 
-os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.makedirs(os.path.join(_REPO, ".jax_cache"), exist_ok=True)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, _REPO)
 
 from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset  # noqa: E402
 from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset  # noqa: E402
@@ -91,8 +93,6 @@ def main() -> None:
     assert mean_on > 1e-3, "covered pixels are black"
 
     ldr = np.clip(img / (1.0 + img), 0.0, 1.0) ** (1 / 2.2)
-    from PIL import Image
-
     Image.fromarray((ldr * 255).astype(np.uint8)).save("/tmp/drive_stage1.png")
     print("wrote /tmp/drive_stage1.png", flush=True)
 

@@ -33,18 +33,21 @@ def main() -> None:
     ap.add_argument("--ablate", action="store_true",
                     help="re-time under single-knob config changes")
     ap.add_argument("--only", type=str, default="",
-                    help="comma-separated substrings: run only matching ablations")
+                    help="comma-separated substrings: run only matching ablations "
+                         "(the full-frame baseline always runs for delta attribution)")
     args = ap.parse_args()
 
     import os
 
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
 
     import jax
     import jax.numpy as jnp
 
     # share bench.py's persistent compile cache (repeat ablations warm-start)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mirres_restir_nerf_mesh_tpu.export.meshops import decimate, marching_tets
