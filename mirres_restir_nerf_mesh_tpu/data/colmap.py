@@ -62,6 +62,79 @@ def read_images_binary(path: str) -> Dict[int, dict]:
     return images
 
 
+_MODEL_IDS = {
+    "SIMPLE_PINHOLE": 0, "PINHOLE": 1, "SIMPLE_RADIAL": 2, "RADIAL": 3,
+    "OPENCV": 4, "OPENCV_FISHEYE": 5, "FULL_OPENCV": 6, "FOV": 7,
+    "SIMPLE_RADIAL_FISHEYE": 8, "RADIAL_FISHEYE": 9, "THIN_PRISM_FISHEYE": 10,
+}
+
+
+def _text_lines(path: str):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line
+
+
+def read_cameras_text(path: str) -> Dict[int, dict]:
+    """cameras.txt (COLMAP text model, reference colmap_utils.py:82-103):
+    `CAMERA_ID MODEL WIDTH HEIGHT PARAMS[]` per line."""
+    cams = {}
+    for line in _text_lines(path):
+        el = line.split()
+        cams[int(el[0])] = dict(
+            model=_MODEL_IDS[el[1]], width=int(el[2]), height=int(el[3]),
+            params=np.array([float(x) for x in el[4:]]),
+        )
+    return cams
+
+
+def read_images_text(path: str) -> Dict[int, dict]:
+    """images.txt (reference colmap_utils.py:129-166): two lines per image —
+    `IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME` then the 2D-point track
+    line `X Y POINT3D_ID ...` (POINT3D_ID -1 = untracked)."""
+    images = {}
+    it = _text_lines(path)
+    for line in it:
+        el = line.split()
+        iid = int(el[0])
+        qvec = np.array([float(x) for x in el[1:5]])
+        tvec = np.array([float(x) for x in el[5:8]])
+        cam_id = int(el[8])
+        name = el[9]
+        try:
+            pts = next(it).split()
+        except StopIteration:
+            pts = []
+        xys = np.array([float(x) for x in pts], np.float64).reshape(-1, 3)
+        images[iid] = dict(
+            qvec=qvec, tvec=tvec, camera_id=cam_id, name=name,
+            xys=xys[:, :2], point3D_ids=xys[:, 2].astype(np.int64),
+        )
+    return images
+
+
+def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray, Dict[int, int]]:
+    """points3D.txt (reference colmap_utils.py:170-201):
+    `POINT3D_ID X Y Z R G B ERROR TRACK[]` -> (xyz [P,3], err [P], id->row)."""
+    xyzs, errs, id_map = [], [], {}
+    for i, line in enumerate(_text_lines(path)):
+        el = line.split()
+        id_map[int(el[0])] = i
+        xyzs.append([float(el[1]), float(el[2]), float(el[3])])
+        errs.append(float(el[7]))
+    return np.array(xyzs, np.float32).reshape(-1, 3), np.array(errs, np.float32), id_map
+
+
+def _read_model_file(sparse: str, name: str, bin_reader, text_reader):
+    """Prefer <name>.bin, fall back to <name>.txt (COLMAP writes either)."""
+    bp = os.path.join(sparse, name + ".bin")
+    if os.path.exists(bp):
+        return bin_reader(bp)
+    return text_reader(os.path.join(sparse, name + ".txt"))
+
+
 def extract_sparse_depth(
     images_meta: Dict[int, dict],
     keys,
@@ -207,9 +280,10 @@ def load_colmap(
     sparse = os.path.join(root, "sparse", "0")
     if not os.path.isdir(sparse):
         sparse = os.path.join(root, "colmap_sparse", "0")
-    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
-    images_meta = read_images_binary(os.path.join(sparse, "images.bin"))
-    pts3d, ptserr, id_map = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    cams = _read_model_file(sparse, "cameras", read_cameras_binary, read_cameras_text)
+    images_meta = _read_model_file(sparse, "images", read_images_binary, read_images_text)
+    pts3d, ptserr, id_map = _read_model_file(
+        sparse, "points3D", read_points3d_binary, read_points3d_text)
 
     keys = sorted(images_meta.keys(), key=lambda k: images_meta[k]["name"])
     if split == "train":

@@ -38,8 +38,10 @@ def main() -> None:
     args = ap.parse_args()
 
     import os
+    import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     cache = os.path.join(repo, ".jax_cache")
     os.makedirs(cache, exist_ok=True)
 

@@ -131,6 +131,64 @@ def test_colmap_sampler_sparse_branch(tmp_path):
     assert hit_sparse, "the 10% sparse-depth branch never fired in 30 draws"
 
 
+def write_colmap_model_text(root, poses_w2c, pts, errs, tracks, W=64, H=48, f=60.0):
+    """Same model as write_colmap_model but in COLMAP text format
+    (reference colmap_utils.py:82-201)."""
+    sp = os.path.join(root, "sparse", "0")
+    os.makedirs(sp, exist_ok=True)
+    with open(os.path.join(sp, "cameras.txt"), "w") as fo:
+        fo.write("# Camera list\n")
+        fo.write(f"1 SIMPLE_PINHOLE {W} {H} {f} {W / 2.0} {H / 2.0}\n")
+    with open(os.path.join(sp, "images.txt"), "w") as fo:
+        fo.write("# Image list: two lines per image\n")
+        for i, (q, t) in enumerate(poses_w2c):
+            fo.write(f"{i + 1} {q[0]} {q[1]} {q[2]} {q[3]} "
+                     f"{t[0]} {t[1]} {t[2]} 1 img_{i:02d}.png\n")
+            xy, pid = tracks[i]
+            fo.write(" ".join(f"{x} {y} {p}" for (x, y), p in zip(xy, pid)) + "\n")
+    with open(os.path.join(sp, "points3D.txt"), "w") as fo:
+        fo.write("# 3D point list\n")
+        for j, (p, e) in enumerate(zip(pts, errs)):
+            fo.write(f"{j + 1} {p[0]} {p[1]} {p[2]} 128 128 128 {e}\n")
+
+
+def make_fixture_text(tmp_path, n_views=4, n_pts=40):
+    """Text-format twin of make_fixture (same RNG -> identical model)."""
+    import shutil
+
+    bin_dir = tmp_path / "bin_model"
+    os.makedirs(bin_dir, exist_ok=True)
+    pts, errs = make_fixture(bin_dir, n_views, n_pts)
+    # rebuild the same tracks deterministically for the text writer by
+    # re-reading the binary model we just wrote
+    sp = os.path.join(bin_dir, "sparse", "0")
+    images = cm.read_images_binary(os.path.join(sp, "images.bin"))
+    poses_w2c = [(tuple(images[k]["qvec"]), tuple(images[k]["tvec"]))
+                 for k in sorted(images)]
+    tracks = [(images[k]["xys"], images[k]["point3D_ids"]) for k in sorted(images)]
+    write_colmap_model_text(str(tmp_path), poses_w2c, pts, errs, tracks)
+    shutil.copytree(bin_dir / "images", tmp_path / "images")
+    return bin_dir
+
+
+def test_colmap_text_model_roundtrip(tmp_path):
+    """Text-format model loads identically to the binary one
+    (reference colmap_utils.py:82-166 read_cameras_text/read_images_text)."""
+    bin_dir = make_fixture_text(tmp_path)
+    fd_txt = cm.load_colmap(str(tmp_path), split="train", test_every=100, bound=2.0)
+    fd_bin = cm.load_colmap(str(bin_dir), split="train", test_every=100, bound=2.0)
+    np.testing.assert_allclose(fd_txt.poses, fd_bin.poses, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(fd_txt.intrinsics, fd_bin.intrinsics)
+    np.testing.assert_allclose(fd_txt.pts3d, fd_bin.pts3d, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fd_txt.sparse_depth, fd_bin.sparse_depth,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fd_txt.sparse_weight, fd_bin.sparse_weight,
+                               rtol=1e-5, atol=1e-6)
+    assert (fd_txt.sparse_coords == fd_bin.sparse_coords).all()
+    np.testing.assert_allclose(fd_txt.cam_near_far, fd_bin.cam_near_far,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_align_dense_depth_recovers_scale_bias():
     rng = np.random.RandomState(1)
     H, W = 48, 64
