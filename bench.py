@@ -107,21 +107,33 @@ def main() -> None:
     @jax.jit
     def step(params, ro, rd, k):
         out = render_stage1(params, static, bv, ro, rd, k)
-        return out["image_brdf"]
+        return out["image_brdf"], out["traced_rays"]
 
     # force full completion via scalar fetch each iteration
-    fetch = jax.jit(lambda p, ro, rd, k: jnp.sum(step(p, ro, rd, k)))
-    float(fetch(params, f["rays_o"], f["rays_d"], key))  # compile + settle
+    @jax.jit
+    def fetch(p, ro, rd, k):
+        img, traced = step(p, ro, rd, k)
+        return jnp.sum(img), traced
+    s0, traced = fetch(params, f["rays_o"], f["rays_d"], key)
+    float(s0)  # compile + settle
+    # actually-traced lanes (t_max > t_min entering tracer launches): lower
+    # than the nominal workload because exact-reuse threading eliminates
+    # rays whose visibility is already known (VERDICT r3 item 2)
+    traced_rays = float(traced)
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        float(fetch(params, f["rays_o"], f["rays_d"], jax.random.fold_in(key, i)))
+        s, _ = fetch(params, f["rays_o"], f["rays_d"], jax.random.fold_in(key, i))
+        float(s)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
     total_rays = rays_per_frame(H, W, SPP, NEIGHBORS, BOUNCES, True)
     mrays = total_rays / dt / 1e6
+
+    stage0 = bench_stage0()
+
     print(
         json.dumps(
             {
@@ -129,9 +141,60 @@ def main() -> None:
                 "value": round(mrays, 4),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / 50.0, 4),
+                # honest-workload tail: both ray definitions (the headline
+                # counts the nominal per-algorithm workload the reference
+                # actually traces, nerf/renderer_restir.py:314-471)
+                "nominal_rays_per_frame": total_rays,
+                "traced_rays_per_frame": int(traced_rays),
+                "traced_Mrays_per_s": round(traced_rays / dt / 1e6, 4),
+                # stage-0 trained-phase training throughput at the adapted
+                # reference operating point (main.py:70-72 via CLAUDE.md)
+                **stage0,
             }
         )
     )
+
+
+def bench_stage0() -> dict:
+    """Stage-0 train-step throughput at the adapted reference operating
+    point: 8192 rays x 64 compacted samples, num_points=2^18, full-size
+    hash field (16L / 2^19).  Returns it/s + Msamples/s fields."""
+    import jax
+    import jax.numpy as jnp
+
+    from mirres_restir_nerf_mesh_tpu.config import Config, finalize
+    from mirres_restir_nerf_mesh_tpu.data.provider import RayDataset
+    from mirres_restir_nerf_mesh_tpu.data.synthetic import make_synthetic_dataset
+    from mirres_restir_nerf_mesh_tpu.models.nerf import NeRFSpec
+    from mirres_restir_nerf_mesh_tpu.train import stage0
+
+    cfg = finalize(Config(
+        bound=1.0, num_rays=8192, samples_per_ray=64, num_points=2 ** 18,
+        dt_gamma=0.0, lambda_tv=1e-8, grid_size=128,
+    ))
+    data = make_synthetic_dataset(n_frames=8, H=256, W=256, bound=cfg.bound)
+    sampler = RayDataset(data, bound=cfg.bound)
+    spec = NeRFSpec(bound=cfg.bound, compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    state = stage0.init_state(key, cfg, spec)
+    train_step = stage0.make_train_step(cfg, spec, sampler)
+    occ_update = stage0.make_occ_update(cfg, spec)
+    # settle the occupancy grid into its trained-phase sparsity regime
+    state = occ_update(state, jax.random.fold_in(key, 1))
+
+    state, aux = train_step(state, jax.random.fold_in(key, 2))
+    float(jax.tree_util.tree_leaves(aux)[0])  # compile + settle
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, aux = train_step(state, jax.random.fold_in(key, 3 + i))
+        float(jax.tree_util.tree_leaves(aux)[0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return {
+        "stage0_it_per_s": round(1.0 / dt, 3),
+        "stage0_Msamples_per_s": round(cfg.num_rays * cfg.samples_per_ray / dt / 1e6, 3),
+    }
 
 
 if __name__ == "__main__":

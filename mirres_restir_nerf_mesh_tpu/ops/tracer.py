@@ -45,6 +45,11 @@ class Tracer:
         # lie in a budget-dropped candidate cluster (tile backend only).
         # Renderers pop_telemetry() and surface the total as a metric.
         self.telemetry = []
+        # workload telemetry: live lanes (t_max > t_min) entering each
+        # launch — the "actually traced" ray count, as opposed to the
+        # nominal per-algorithm workload (the exact-reuse threading zeroes
+        # t_max on rays whose visibility is already known).
+        self.traced = []
 
     def pop_telemetry(self) -> jnp.ndarray:
         """Sum (and clear) uncertain-ray counts recorded since the last pop.
@@ -55,6 +60,20 @@ class Tracer:
         for v in vals:
             total = total + v
         return total
+
+    def pop_traced(self) -> jnp.ndarray:
+        """Sum (and clear) live-lane launch counts since the last pop.
+        Same trace-scope rule as pop_telemetry."""
+        vals, self.traced = self.traced, []
+        total = jnp.zeros((), jnp.float32)
+        for v in vals:
+            total = total + v
+        return total
+
+    def _record_traced(self, rays_o, t_max, t_min):
+        t_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                 (rays_o.shape[0],))
+        self.traced.append(jnp.sum((t_arr > t_min).astype(jnp.float32)))
 
     def _shmap(self, fn, rays_o, rays_d, t_max):
         """Run fn(accel, rays...) per device shard: accel replicated (P()),
@@ -79,6 +98,7 @@ class Tracer:
         "morton" for incoherent batches, no sort for coherent ones).  Pass
         "morton_dir2" for direction-CONCENTRATED incoherent batches (ReSTIR
         winner visibility, env-importance NEE shadows)."""
+        self._record_traced(rays_o, t_max, t_min)
         if self.kind == "tile":
             from . import tile_tracer
 
@@ -114,6 +134,7 @@ class Tracer:
     def occluded(self, rays_o: jnp.ndarray, rays_d: jnp.ndarray, t_max,
                  t_min: float = 1e-4, incoherent: bool = False,
                  sort=None) -> jnp.ndarray:
+        self._record_traced(rays_o, t_max, t_min)
         if self.kind == "tile":
             from . import tile_tracer
 

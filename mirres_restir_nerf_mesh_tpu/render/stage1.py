@@ -185,6 +185,7 @@ def render_stage1(
 
     gb = raycast_gbuffer(verts, tris, tracer, rays_o, rays_d)
     uncertain_primary = tracer.pop_telemetry()
+    traced_total = tracer.pop_traced()
     normal = prepare_shading_normal(gb.view_dir, gb.normal, gb.face_normal)
 
     # --- material & jittered taps for smoothness grads (renderer.py:1000-1022) ---
@@ -375,14 +376,16 @@ def render_stage1(
         # row-sum is the per-chunk scalar)
         n = pos_c.shape[0]
         telem = tracer.pop_telemetry()
+        traced = tracer.pop_traced()
         return (tot, occ.astype(jnp.float32)[:, None],
-                jnp.full((n, 1), telem / n))
+                jnp.full((n, 1), telem / n), jnp.full((n, 1), traced / n))
 
-    sum_i_b, occ_col, telem_col = masked_apply(
-        indirect_fn, mask_b, ind_args, fills=(0.0, 0.0, 0.0),
+    sum_i_b, occ_col, telem_col, traced_col = masked_apply(
+        indirect_fn, mask_b, ind_args, fills=(0.0, 0.0, 0.0, 0.0),
         chunks=static.compact_chunks, key=k_ind,
     )
     uncertain_primary = uncertain_primary + jnp.sum(telem_col)
+    traced_total = traced_total + jnp.sum(traced_col)
     if static.use_restir:
         init_occ = occ_col[:, 0] > 0.5
         # apply the fused winner visibility: an occluded winner is exactly a
@@ -399,6 +402,7 @@ def render_stage1(
     # pop any remaining telemetry HERE: left in the list it would become a
     # scan constant and be re-counted every spp iteration
     uncertain_primary = uncertain_primary + tracer.pop_telemetry()
+    traced_total = traced_total + tracer.pop_traced()
 
     # the serial spp chain (temporal -> spatial -> final eval -> shade) also
     # runs under live-lane compaction when the pixel layout is known: the
@@ -431,7 +435,7 @@ def render_stage1(
             return jax.tree.map(lambda a: a[c * csz:(c + 1) * csz], t)
 
         def spp_body_chunked(carry, s):
-            prev_res, prev_vis, acc_d, acc_s, acc_u = carry
+            prev_res, prev_vis, acc_d, acc_s, acc_u, acc_t = carry
             k_s = jax.random.fold_in(k_di, s)
             # same key derivation as the uncompacted chain; randoms drawn
             # full-width in pixel space, permuted, sliced per chunk
@@ -498,18 +502,19 @@ def render_stage1(
                 )
                 # telemetry must leave through the branch outputs (see
                 # indirect_fn above); one (1,) leaf per chunk
-                return res_o, fvis, dval, sval, tracer.pop_telemetry()[None]
+                return (res_o, fvis, dval, sval, tracer.pop_telemetry()[None],
+                        tracer.pop_traced()[None])
 
-            res_o, fvis, dval, sval, telem = chunked_tree(
+            res_o, fvis, dval, sval, telem, traced = chunked_tree(
                 live, Cn, csz, spatial_chunk
             )
             return (res_o, fvis, acc_d + dval, acc_s + sval,
-                    acc_u + jnp.sum(telem)), None
+                    acc_u + jnp.sum(telem), acc_t + jnp.sum(traced)), None
 
         zero = jnp.zeros((P, 3))
         carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero,
-                  zero, jnp.zeros((), jnp.float32))
-        (_, _, sum_d_p, sum_s_p, sum_u), _ = jax.lax.scan(
+                  zero, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        (_, _, sum_d_p, sum_s_p, sum_u, sum_t), _ = jax.lax.scan(
             spp_body_chunked, carry0, jnp.arange(static.spp)
         )
         # unpermute both accumulators with ONE wide-row gather
@@ -517,7 +522,7 @@ def render_stage1(
         sum_d, sum_s = both[:, 0:3], both[:, 3:6]
 
     def spp_body(carry, s):
-        prev_res, prev_vis, acc_d, acc_s, acc_u = carry
+        prev_res, prev_vis, acc_d, acc_s, acc_u, acc_t = carry
         k_s = jax.random.fold_in(k_di, s)
         if static.use_restir:
             k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
@@ -580,32 +585,37 @@ def render_stage1(
                     jnp.zeros((pos.shape[0], 3)),
                 )
                 n = pos.shape[0]
-                return dv, sv, jnp.full((n, 1), tracer.pop_telemetry() / n)
+                return (dv, sv, jnp.full((n, 1), tracer.pop_telemetry() / n),
+                        jnp.full((n, 1), tracer.pop_traced() / n))
 
-            diff_s, spec_s, telem_c = masked_apply(
+            diff_s, spec_s, telem_c, traced_c = masked_apply(
                 direct_fn, gb.mask,
                 (sg(xyzs), sg(normal), gb.view_dir, gb.mask, sg(kd_shade),
                  sg(rough), sg(metal), normal, kd_shade, rough, metal,
                  rnd_env, u_sel, u_d, u_s2, u_pick),
-                fills=(0.0, 0.0, 0.0), chunks=static.compact_chunks,
+                fills=(0.0, 0.0, 0.0, 0.0), chunks=static.compact_chunks,
             )
             acc_u = acc_u + jnp.sum(telem_c)
+            acc_t = acc_t + jnp.sum(traced_c)
             return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s,
-                    acc_u), None
+                    acc_u, acc_t), None
         color_s, diff_s, spec_s = pathtracer.shade_direct(
             light, gb.mask, normal, gb.view_dir, kd_shade, rough, metal, env_bg
         )
         acc_u = acc_u + tracer.pop_telemetry()
-        return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s, acc_u), None
+        acc_t = acc_t + tracer.pop_traced()
+        return (prev_res, prev_vis, acc_d + diff_s, acc_s + spec_s, acc_u,
+                acc_t), None
 
     if not chain_chunked:
         zero = jnp.zeros((P, 3))
         carry0 = (restir_mod.empty_reservoir(P), jnp.ones((P,), bool), zero,
-                  zero, jnp.zeros((), jnp.float32))
-        (_, _, sum_d, sum_s, sum_u), _ = jax.lax.scan(
+                  zero, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        (_, _, sum_d, sum_s, sum_u, sum_t), _ = jax.lax.scan(
             spp_body, carry0, jnp.arange(static.spp)
         )
     uncertain_count = uncertain_primary + sum_u
+    traced_total = traced_total + sum_t
     inv = 1.0 / float(static.spp)
     diffuse_light = sum_d * inv
     specular_light = sum_s * inv
@@ -708,5 +718,10 @@ def render_stage1(
         # tile-tracer exactness telemetry: rays this frame whose result may
         # lie in a budget-dropped candidate (> 0 => raise k_cap budgets)
         "uncertain_count": uncertain_count,
+        # workload telemetry: live lanes (t_max > t_min) actually entering
+        # tracer launches this frame — lower than the nominal algorithmic
+        # ray count because exact-reuse threading and compaction zero or
+        # skip rays whose answer is already known (VERDICT r3 item 2)
+        "traced_rays": traced_total,
         **({"normal_ao": nrm_ao} if nrm_ao is not None else {}),
     }
