@@ -54,6 +54,9 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.seed)
         self.global_step = 0
         self.best_metric = -1e9
+        # consecutive logged checks with uncertain_count > 0 (tracer-budget
+        # auto-escalation, _escalate_tracer_budget)
+        self._uncertain_strikes = 0
 
         # TPU-native data parallelism (reference DDP surface,
         # nerf/utils.py:761-764): on automatically when >1 device is visible
@@ -275,12 +278,25 @@ class Trainer:
                     self._adapt_num_rays(last.get("num_points", 0.0))
                 if last.get("uncertain_count", 0.0) > 0:
                     # tile-tracer budget truncation: results may silently miss
-                    # hits; raise k_cap / k_cap_incoherent (Stage1Static)
+                    # hits.  Persisting across checks, the budgets escalate
+                    # automatically to the next bucket (one recompile,
+                    # grow-only — the _adapt_num_rays pattern; the reference's
+                    # 64-deep traversal stack never truncates,
+                    # intersect_test.slang:24)
+                    self._uncertain_strikes += 1
                     self.log(
                         f"[tracer] WARNING: {last['uncertain_count']:.0f} rays "
-                        "exceeded the candidate budget this step — raise "
-                        "k_cap/k_cap_incoherent to restore exactness"
+                        "exceeded the candidate budget this step "
+                        f"(strike {self._uncertain_strikes})"
                     )
+                    if (self._uncertain_strikes >= 2 and cfg.stage == 1
+                            and not self._escalate_tracer_budget()):
+                        self.log(
+                            "[tracer] budgets at cap — results may remain "
+                            "approximate on this geometry"
+                        )
+                else:
+                    self._uncertain_strikes = 0
                 rate = (i + 1 - start) / max(time.time() - t0, 1e-9)
                 self.log(
                     f"[train] step {i+1}/{steps} loss={last.get('loss', 0):.5f} "
@@ -299,6 +315,33 @@ class Trainer:
                 if metric > self.best_metric:
                     self.best_metric = metric
                     self.save_checkpoint(best=True)
+
+    def _escalate_tracer_budget(self, cap: int = 4096) -> bool:
+        """Grow k_cap / k_cap_incoherent to the next power-of-two bucket and
+        rebuild the stage-1 train step (one recompile, cached thereafter).
+        Returns False when already at cap.  Exactness auto-repair for thin /
+        foliage-heavy geometry where the static candidate budget truncates
+        (the reference's stack traversal never does, intersect_test.slang:24)."""
+        import dataclasses
+
+        st = self.static
+        if st.k_cap >= cap and st.k_cap_incoherent >= cap:
+            return False
+        self.static = dataclasses.replace(
+            st,
+            k_cap=min(st.k_cap * 2, cap),
+            k_cap_incoherent=min(st.k_cap_incoherent * 2, cap),
+        )
+        self.log(
+            f"[tracer] escalating candidate budgets: k_cap {st.k_cap} -> "
+            f"{self.static.k_cap}, k_cap_incoherent {st.k_cap_incoherent} -> "
+            f"{self.static.k_cap_incoherent} (rebuilding train step)"
+        )
+        self.train_step = stage1.make_train_step(
+            self.cfg, self.static, self.base_verts, self.topo, mesh=self.mesh
+        )
+        self._uncertain_strikes = 0
+        return True
 
     def _adapt_num_rays(self, num_points: float) -> bool:
         """Reference adaptive_num_rays (-O, utils.py:1133-1134): grow the ray
