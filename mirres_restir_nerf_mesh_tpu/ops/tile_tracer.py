@@ -708,7 +708,19 @@ def tile_trace(
         # fill all-dead tiles (zero candidates, ~1 no-op queue item each)
         # instead of diluting live tiles' frustums
         dead = t_max_arr <= 0.0
-        if sort_octants in ("morton", "morton_dir2"):
+        if sort_octants == "dir":
+            # direction-morton: 32^3 cells of the direction cube.  For
+            # single-origin (pinhole) launches this is 2-D image locality —
+            # raster-order tiles span the full image width and admit most of
+            # the mesh into every tile's frustum; direction-local tiles get
+            # a razor-thin cone (origin box is a point) so the candidate
+            # set collapses to the clusters actually under those pixels.
+            from .morton import morton3d
+
+            cd = jnp.clip(((rays_d * 0.5 + 0.5) * 32.0).astype(jnp.int32), 0, 31)
+            key = morton3d(cd).astype(jnp.int32)
+            key = jnp.where(dead, jnp.int32(1) << 26, key)
+        elif sort_octants in ("morton", "morton_dir2"):
             from .morton import morton3d
 
             lo = jnp.min(cm.aabb_min, axis=0)
