@@ -104,30 +104,45 @@ def main() -> None:
     )
     bv = jnp.asarray(verts)
 
-    @jax.jit
-    def step(params, ro, rd, k):
-        out = render_stage1(params, static, bv, ro, rd, k)
-        return out["image_brdf"], out["traced_rays"]
+    # throughput timing (CLAUDE.md methodology): the tunnel costs ~29 ms per
+    # scalar fetch and ~21 ms per dispatch, which at a ~230 ms frame is ~20%
+    # measurement overhead.  Time N whole frames INSIDE one graph (fori_loop
+    # body = the full frame; the vertex offsets are perturbed per iteration
+    # so the per-step BVH rebuild is NOT hoisted as loop-invariant — training
+    # rebuilds it every step) and pay ONE dispatch + ONE fetch per repeat.
+    N_FRAMES = 4
 
-    # force full completion via scalar fetch each iteration
     @jax.jit
-    def fetch(p, ro, rd, k):
-        img, traced = step(p, ro, rd, k)
-        return jnp.sum(img), traced
-    s0, traced = fetch(params, f["rays_o"], f["rays_d"], key)
+    def run_frames(params, ro, rd, key):
+        def body(i, carry):
+            acc, traced, unc = carry
+            p_i = params._replace(
+                offsets=params.offsets + 1e-6 * (i + 1).astype(jnp.float32)
+            )
+            out = render_stage1(p_i, static, bv, ro, rd, jax.random.fold_in(key, i))
+            return (acc + jnp.sum(out["image_brdf"]),
+                    traced + out["traced_rays"],
+                    unc + out["uncertain_count"])
+
+        return jax.lax.fori_loop(
+            0, N_FRAMES, body, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        )
+
+    s0, traced, unc = run_frames(params, f["rays_o"], f["rays_d"], key)
     float(s0)  # compile + settle
+    uncertain = float(unc) / N_FRAMES
     # actually-traced lanes (t_max > t_min entering tracer launches): lower
     # than the nominal workload because exact-reuse threading eliminates
     # rays whose visibility is already known (VERDICT r3 item 2)
-    traced_rays = float(traced)
+    traced_rays = float(traced) / N_FRAMES
 
     times = []
-    for i in range(5):
+    for i in range(3):
         t0 = time.perf_counter()
-        s, _ = fetch(params, f["rays_o"], f["rays_d"], jax.random.fold_in(key, i))
+        s, _, _ = run_frames(params, f["rays_o"], f["rays_d"], jax.random.fold_in(key, 100 + i))
         float(s)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / N_FRAMES
 
     total_rays = rays_per_frame(H, W, SPP, NEIGHBORS, BOUNCES, True)
     mrays = total_rays / dt / 1e6
@@ -147,6 +162,9 @@ def main() -> None:
                 "nominal_rays_per_frame": total_rays,
                 "traced_rays_per_frame": int(traced_rays),
                 "traced_Mrays_per_s": round(traced_rays / dt / 1e6, 4),
+                # tile-tracer exactness telemetry at the bench budgets
+                # (0 = no ray's result can lie in a budget-dropped candidate)
+                "uncertain_per_frame": round(uncertain, 1),
                 # stage-0 trained-phase training throughput at the adapted
                 # reference operating point (main.py:70-72 via CLAUDE.md)
                 **stage0,

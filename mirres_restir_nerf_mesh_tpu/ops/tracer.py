@@ -25,7 +25,8 @@ from .bvh import HitResult
 class Tracer:
     def __init__(self, accel, kind: str, max_candidates: int = 10,
                  dense_threshold: int = 8192, k_cap: int = 128,
-                 k_cap_incoherent: int = 512, tile: int = 512, mesh=None):
+                 k_cap_incoherent: int = 512, tile: int = 512, mesh=None,
+                 queue_avg: int = 64, queue_avg_incoherent: int = 64):
         self.accel = accel
         self.kind = kind
         self.max_candidates = max_candidates
@@ -35,6 +36,13 @@ class Tracer:
         # whose directions span the sphere overlaps many more clusters
         self.k_cap_incoherent = k_cap_incoherent
         self.tile = tile
+        # work-queue budgets (avg active candidates per tile, _run_queue):
+        # the global W_cap = tiles * queue_avg clips crowded launches, which
+        # the uncertain telemetry accounts — incoherent batches need a larger
+        # budget than coherent ones (bench scene p50 candidate counts: ~10
+        # coherent, ~160-220 incoherent)
+        self.queue_avg = queue_avg
+        self.queue_avg_incoherent = queue_avg_incoherent
         # jax.sharding.Mesh for data-parallel tracing: the Pallas tile kernel
         # is a custom call GSPMD cannot partition, so under a device mesh every
         # trace is wrapped in shard_map — geometry replicated, rays sharded on
@@ -114,6 +122,8 @@ class Tracer:
                     k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
                     tile=self.tile, dense_threshold=self.dense_threshold,
                     sort_octants=sort,
+                    queue_avg=(self.queue_avg_incoherent if incoherent
+                               else self.queue_avg),
                 )
 
             if self.mesh is not None:
@@ -147,6 +157,8 @@ class Tracer:
                     k_cap=self.k_cap_incoherent if incoherent else self.k_cap,
                     tile=self.tile, dense_threshold=self.dense_threshold,
                     sort_octants=sort,
+                    queue_avg=(self.queue_avg_incoherent if incoherent
+                               else self.queue_avg),
                 )
 
             if self.mesh is not None:
@@ -173,7 +185,8 @@ def default_kind() -> str:
 def build_tracer(verts: jnp.ndarray, tris: jnp.ndarray, kind: str = "auto",
                  cluster_size: int = 128, max_candidates: int = 10,
                  dense_threshold: int = 8192, k_cap: int = 128,
-                 k_cap_incoherent: int = 512, tile: int = 512, mesh=None) -> Tracer:
+                 k_cap_incoherent: int = 512, tile: int = 512, mesh=None,
+                 queue_avg: int = 64, queue_avg_incoherent: int = 64) -> Tracer:
     if kind == "auto":
         kind = default_kind()
     if kind in ("cluster", "tile"):
@@ -181,6 +194,7 @@ def build_tracer(verts: jnp.ndarray, tris: jnp.ndarray, kind: str = "auto",
             cluster_mod.build_clusters(verts, tris, cluster_size), kind,
             max_candidates=max_candidates, dense_threshold=dense_threshold,
             k_cap=k_cap, k_cap_incoherent=k_cap_incoherent, tile=tile,
-            mesh=mesh,
+            mesh=mesh, queue_avg=queue_avg,
+            queue_avg_incoherent=queue_avg_incoherent,
         )
     return Tracer(lbvh_mod.build_bvh(verts, tris), kind)

@@ -178,20 +178,40 @@ def initial_resampling(
         )
         rows = blocks[tile_id * (S // n) + blk].reshape(P, n, 7)  # [P,n,7]
 
-        def light_body(carry, i):
-            w_sum, M, sel_dir, sel_p, sel_valid = carry
-            row = rows[:, i]
-            ldir, le, lpdf = row[:, 0:3], row[:, 3:6], row[:, 6]
-            p_hat = target_function(ctx, ldir, le)
-            src = mixed_source_pdf(ldir, lpdf)
-            w = jnp.where(src > 1e-12, p_hat / jnp.maximum(src, 1e-12), 0.0)
-            w_sum = w_sum + w
-            M = M + 1.0
-            pick = us[i] * w_sum < w
-            sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
-            sel_p = jnp.where(pick, p_hat, sel_p)
-            sel_valid = sel_valid | pick
-            return (w_sum, M, sel_dir, sel_p, sel_valid), None
+        # ALL light candidates evaluated at once on a [P, n] lattice (vmap
+        # over the candidate axis keeps the [P] ctx broadcasts fused): a
+        # 32-step lax.scan of [P]-wide ops starves the VPU and serializes
+        # what is embarrassingly parallel.  The streaming-reservoir pick is
+        # closed-form: with prefix sums W_i, step i picks iff
+        # u_i * W_i < w_i, and the SELECTED candidate is the last i that
+        # picked — identical rule, one vectorized pass.
+        ld_all, le_all, lpdf_all = rows[..., 0:3], rows[..., 3:6], rows[..., 6]
+        p_hat_all = jax.vmap(
+            lambda ld, le: target_function(ctx, ld, le),
+            in_axes=(1, 1), out_axes=1,
+        )(ld_all, le_all)                                        # [P,n]
+        src_all = jax.vmap(mixed_source_pdf, in_axes=(1, 1), out_axes=1)(
+            ld_all, lpdf_all
+        )
+        w_all = jnp.where(
+            src_all > 1e-12, p_hat_all / jnp.maximum(src_all, 1e-12), 0.0
+        )
+        w_cum = jnp.cumsum(w_all, axis=1)
+        pick_all = (us[:n].T * w_cum < w_all)                    # [P,n]
+        any_pick = jnp.any(pick_all, axis=1)
+        last = (n - 1) - jnp.argmax(
+            jnp.flip(pick_all, axis=1).astype(jnp.int32), axis=1
+        )
+        idx = jnp.where(any_pick, last, 0)
+        onehot = (jnp.arange(n)[None, :] == idx[:, None]).astype(jnp.float32)
+        sel_dir = jnp.einsum("pn,pnc->pc", onehot, ld_all)
+        sel_p = jnp.sum(p_hat_all * onehot, axis=1)
+        sel_dir = jnp.where(any_pick[:, None], sel_dir, 0.0)
+        sel_p = jnp.where(any_pick, sel_p, 0.0)
+        w_sum = w_cum[:, -1]
+        M = jnp.full((P,), float(n))
+        sel_valid = any_pick
+        light_body = None
     else:
         flat = table.reshape(T * S, 7)
         offset = jax.random.randint(k_off, (P,), 0, S)
@@ -214,10 +234,11 @@ def initial_resampling(
             sel_valid = sel_valid | pick
             return (w_sum, M, sel_dir, sel_p, sel_valid), None
 
-    (w_sum, M, sel_dir, sel_p, sel_valid), _ = jax.lax.scan(
-        light_body, (w_sum, M, sel_dir, sel_p, sel_valid),
-        jnp.arange(n_light_samples),
-    )
+    if light_body is not None:
+        (w_sum, M, sel_dir, sel_p, sel_valid), _ = jax.lax.scan(
+            light_body, (w_sum, M, sel_dir, sel_p, sel_valid),
+            jnp.arange(n_light_samples),
+        )
 
     for j in range(n_brdf_samples):
         kb = jax.random.fold_in(k_brdf, j)

@@ -81,6 +81,15 @@ class Stage1Static:
                                  # (hit-mask error vs exact on the worst-case
                                  # bench scene: 0.6% at 512, 4.4% at 384)
     ray_tile: int = 512          # tile tracer: rays per tile
+    queue_avg: int = 64          # work-queue budget (avg candidates per tile)
+    queue_avg_incoherent: int = 64  # same for incoherent (bounce/vis) batches
+
+    # profiling-only block skips for scripts/profile_stage1.py --ablate:
+    # comma-separated tokens from {no_field, no_initial, no_temporal,
+    # no_final, no_shade, no_lighttiles}.  Each replaces one frame block with
+    # a trivially-shaped stand-in so single-knob deltas attribute the frame
+    # budget.  NOT a rendering mode — never set outside profiling.
+    ablate: str = ""
 
     # supersampling factor baked into H/W (H,W here are ALREADY multiplied
     # by ssaa; the trainer box-downsamples outputs to GT resolution)
@@ -181,7 +190,10 @@ def render_stage1(
         dense_threshold=static.dense_threshold,
         k_cap=static.k_cap, k_cap_incoherent=static.k_cap_incoherent,
         tile=static.ray_tile, mesh=static.shard_mesh,
+        queue_avg=static.queue_avg,
+        queue_avg_incoherent=static.queue_avg_incoherent,
     )
+    ab = frozenset(t.strip() for t in static.ablate.split(",") if t.strip())
 
     gb = raycast_gbuffer(verts, tris, tracer, rays_o, rays_d)
     uncertain_primary = tracer.pop_telemetry()
@@ -208,10 +220,14 @@ def render_stage1(
         rgb = nerf_model.rgb_only(params.nerf, npts, vdir, static.nerf_spec)
         return m, m_j, rgb
 
-    mat, mat_j, nerf_rgb = masked_apply(
-        field_queries, gb.mask, (xyzs, xyzs_j, gb.view_dir),
-        fills=(0.5, 0.5, 0.0), chunks=static.compact_chunks,
-    )
+    if "no_field" in ab:  # profiling-only: attribute the field-query block
+        mat = jnp.full((xyzs.shape[0], static.mat_spec.channels), 0.5)
+        mat_j, nerf_rgb = mat, jnp.zeros((xyzs.shape[0], 3))
+    else:
+        mat, mat_j, nerf_rgb = masked_apply(
+            field_queries, gb.mask, (xyzs, xyzs_j, gb.view_dir),
+            fills=(0.5, 0.5, 0.0), chunks=static.compact_chunks,
+        )
     kd, rough, metal = material_mod.split_material(mat)
     kd_j, rough_j, metal_j = material_mod.split_material(mat_j)
     msk = gb.mask[:, None]
@@ -270,10 +286,18 @@ def render_stage1(
     # per-spp tile_id/offset randomization keeps samples stratified)
     tiles = None
     if static.use_restir:
-        tiles = restir_mod.generate_light_tiles(
-            jax.random.fold_in(k_di, 10_007), sg(env_tex), env_dist,
-            static.restir_tiles, static.restir_tile_size,
-        )
+        if "no_lighttiles" in ab:  # profiling-only
+            tiles = restir_mod.LightTiles(
+                dirs=jnp.zeros((static.restir_tiles, static.restir_tile_size, 3))
+                .at[..., 2].set(1.0),
+                le=jnp.ones((static.restir_tiles, static.restir_tile_size, 3)),
+                pdf=jnp.ones((static.restir_tiles, static.restir_tile_size)),
+            )
+        else:
+            tiles = restir_mod.generate_light_tiles(
+                jax.random.fold_in(k_di, 10_007), sg(env_tex), env_dist,
+                static.restir_tiles, static.restir_tile_size,
+            )
 
     # spp structure: the only serial dependence across spp iterations is the
     # temporal->spatial reservoir chain (iteration s's temporal reuse merges
@@ -333,15 +357,21 @@ def render_stage1(
             )
             return r.dir, r.W[:, None], r.M[:, None], r.valid.astype(jnp.float32)[:, None]
 
-        r_dir, r_w, r_m, r_v = masked_apply(
-            initial_fn, ctx_b.mask,
-            (i_tile[:, None], i_blk[:, None], i_us, i_bu)
-            + tuple(getattr(ctx_b, f) for f in ctx_b._fields),
-            fills=(0.0, 0.0, 0.0, 0.0), chunks=static.compact_chunks,
-        )
-        res0_b = restir_mod.Reservoir(
-            dir=r_dir, W=r_w[:, 0], M=r_m[:, 0], valid=r_v[:, 0] > 0.5
-        )
+        if "no_initial" in ab:  # profiling-only: fixed up-facing winner
+            res0_b = restir_mod.Reservoir(
+                dir=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (Nb, 3)),
+                W=jnp.ones((Nb,)), M=jnp.ones((Nb,)), valid=ctx_b.mask,
+            )
+        else:
+            r_dir, r_w, r_m, r_v = masked_apply(
+                initial_fn, ctx_b.mask,
+                (i_tile[:, None], i_blk[:, None], i_us, i_bu)
+                + tuple(getattr(ctx_b, f) for f in ctx_b._fields),
+                fills=(0.0, 0.0, 0.0, 0.0), chunks=static.compact_chunks,
+            )
+            res0_b = restir_mod.Reservoir(
+                dir=r_dir, W=r_w[:, 0], M=r_m[:, 0], valid=r_v[:, 0] > 0.5
+            )
         init_occ_rays = (
             ctx_b.position + ctx_b.normal * 1e-4,
             res0_b.dir,
@@ -449,6 +479,10 @@ def render_stage1(
 
             # pass 1 (rowwise): temporal merge per chunk
             def temporal_chunk(c):
+                if "no_temporal" in ab:  # profiling-only passthrough (p set
+                    # so downstream keeps the exact-reuse threading structure)
+                    return (cslice(res_s, c)._replace(p=jnp.ones((csz,))),
+                            jnp.ones((csz,), bool))
                 ctx_c = cslice(pctx, c)
                 kw = {}
                 if thread_vis:
@@ -485,21 +519,32 @@ def render_stage1(
                 )
                 if thread_vis:
                     res_o, fvis = out
+                else:
+                    res_o = out
+                    fvis = jnp.ones((csz,), bool)
+                if "no_final" in ab:  # profiling-only: constant Li
+                    light = pathtracer.LightSample(
+                        dir=res_o.dir,
+                        distance=jnp.where(res_o.valid, 1e9, 0.0),
+                        Li=jnp.broadcast_to(res_o.W[:, None], (csz, 3)),
+                    )
+                elif thread_vis:
                     light = restir_mod.evaluate_final_samples(
                         ctx_c, res_o, env_tex, tracer, known_vis=fvis
                     )
                 else:
-                    res_o = out
-                    fvis = jnp.ones((csz,), bool)
                     light = restir_mod.evaluate_final_samples(
                         ctx_c, res_o, env_tex, tracer
                     )
-                _, dval, sval = pathtracer.shade_direct(
-                    light, ctx_c.mask, p_norm[c * csz:(c + 1) * csz],
-                    ctx_c.view_dir, p_kd[c * csz:(c + 1) * csz],
-                    p_rough[c * csz:(c + 1) * csz],
-                    p_metal[c * csz:(c + 1) * csz], jnp.zeros((csz, 3)),
-                )
+                if "no_shade" in ab:  # profiling-only
+                    dval = sval = light.Li * 0.0
+                else:
+                    _, dval, sval = pathtracer.shade_direct(
+                        light, ctx_c.mask, p_norm[c * csz:(c + 1) * csz],
+                        ctx_c.view_dir, p_kd[c * csz:(c + 1) * csz],
+                        p_rough[c * csz:(c + 1) * csz],
+                        p_metal[c * csz:(c + 1) * csz], jnp.zeros((csz, 3)),
+                    )
                 # telemetry must leave through the branch outputs (see
                 # indirect_fn above); one (1,) leaf per chunk
                 return (res_o, fvis, dval, sval, tracer.pop_telemetry()[None],

@@ -325,17 +325,26 @@ class Trainer:
         import dataclasses
 
         st = self.static
-        if st.k_cap >= cap and st.k_cap_incoherent >= cap:
+        if (st.k_cap >= cap and st.k_cap_incoherent >= cap
+                and st.queue_avg >= cap and st.queue_avg_incoherent >= cap):
             return False
         self.static = dataclasses.replace(
             st,
             k_cap=min(st.k_cap * 2, cap),
             k_cap_incoherent=min(st.k_cap_incoherent * 2, cap),
+            # the work-queue budget truncates before k_cap does (W_cap =
+            # tiles * queue_avg, ops/tile_tracer.py _run_queue) — grow it in
+            # lockstep or the k_cap bump alone cannot clear the uncertainty
+            queue_avg=min(st.queue_avg * 2, cap),
+            queue_avg_incoherent=min(st.queue_avg_incoherent * 2, cap),
         )
         self.log(
             f"[tracer] escalating candidate budgets: k_cap {st.k_cap} -> "
             f"{self.static.k_cap}, k_cap_incoherent {st.k_cap_incoherent} -> "
-            f"{self.static.k_cap_incoherent} (rebuilding train step)"
+            f"{self.static.k_cap_incoherent}, queue_avg "
+            f"{st.queue_avg}/{st.queue_avg_incoherent} -> "
+            f"{self.static.queue_avg}/{self.static.queue_avg_incoherent} "
+            "(rebuilding train step)"
         )
         self.train_step = stage1.make_train_step(
             self.cfg, self.static, self.base_verts, self.topo, mesh=self.mesh

@@ -130,6 +130,61 @@ def main() -> None:
             cm, o, d, tm, k_cap=512, sort_octants="morton",
             queue_avg=q)[1], ppj, dnj, tm_live)
 
+    if "--knobs" in sys.argv:
+        # ---- r4 knob sweeps on the worst launch family (bounce closest):
+        # exact budgets (k_cap=C so nothing is k-dropped; q_avg up to the
+        # point uncertain==0), cluster granularity S, and ray-tile R under
+        # the queue path.  Mixed-dir cross-vis-shaped anyhit too (34% live).
+        def bounce_fn(cmx, Cx, o, d, tm, q, tile=512):
+            return jnp.sum(jnp.where(jnp.isfinite(
+                tile_tracer.intersect_tiles_t(
+                    cmx, o, d, t_max=tm, k_cap=Cx, sort_octants="morton",
+                    queue_avg=q, tile=tile).hit.t), 1.0, 0.0))
+
+        def bounce_unc(cmx, Cx, o, d, tm, q, tile=512):
+            return tile_tracer.intersect_tiles_t(
+                cmx, o, d, t_max=tm, k_cap=Cx, sort_octants="morton",
+                queue_avg=q, tile=tile).uncertain
+
+        for q in (256, 384, 512):
+            tag = f"bounce closest k=C q_avg={q} (exact-k)"
+            bench(tag, lambda o, d, tm, q=q: bounce_fn(cm, C, o, d, tm, q),
+                  ppj, dbj, tm_live)
+            unc(tag, lambda o, d, tm, q=q: bounce_unc(cm, C, o, d, tm, q),
+                ppj, dbj, tm_live)
+
+        for Sx in (64, 256):
+            cmx = cluster_bvh.build_clusters(
+                jnp.asarray(verts), jnp.asarray(tris), Sx)
+            Cx = cmx.prim.shape[0]
+            qx = 384 * (128 // Sx) if Sx < 128 else 192
+            tag = f"bounce closest S={Sx} C={Cx} k=C q_avg={qx}"
+            bench(tag, lambda o, d, tm, cmx=cmx, Cx=Cx, qx=qx: bounce_fn(
+                cmx, Cx, o, d, tm, qx), ppj, dbj, tm_live)
+            unc(tag, lambda o, d, tm, cmx=cmx, Cx=Cx, qx=qx: bounce_unc(
+                cmx, Cx, o, d, tm, qx), ppj, dbj, tm_live)
+
+        tag = "bounce closest R=256 k=C q_avg=384"
+        bench(tag, lambda o, d, tm: bounce_fn(cm, C, o, d, tm, 384, tile=256),
+              ppj, dbj, tm_live)
+        unc(tag, lambda o, d, tm: bounce_unc(cm, C, o, d, tm, 384, tile=256),
+            ppj, dbj, tm_live)
+
+        # cross-vis shape: mixed sun/sky dirs, 34% live
+        live2 = rng.rand(N) < 0.34
+        tm2 = jnp.asarray(np.where(live2, 1e9, 0.0).astype(np.float32))
+        dm = np.where(rng.rand(N, 1) < 0.5, dn, db).astype(np.float32)
+        dmj = jnp.asarray(dm)
+        for q in (64, 256, 384):
+            tag = f"cross-vis anyhit k=C q_avg={q}"
+            fn = lambda o, d, tm, q=q: jnp.sum(tile_tracer.occluded_tiles_t(
+                cm, o, d, tm, k_cap=C, sort_octants="morton",
+                queue_avg=q)[0].astype(jnp.float32))
+            bench(tag, fn, ppj, dmj, tm2)
+            unc(tag, lambda o, d, tm, q=q: tile_tracer.occluded_tiles_t(
+                cm, o, d, tm, k_cap=C, sort_octants="morton",
+                queue_avg=q)[1], ppj, dmj, tm2)
+
     print("DONE", flush=True)
 
 

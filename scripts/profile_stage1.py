@@ -140,6 +140,23 @@ def main() -> None:
         frame("no compaction", compact_chunks=1)
         frame("compact chunks 8", compact_chunks=8)
         frame("no restir (1-sample MIS)", use_restir=False)
+        # finer attribution (r4): RIS candidate count, spatial width, and
+        # profiling-only block skips (Stage1Static.ablate)
+        frame("light samples 16", restir_light_samples=16)
+        frame("light samples 8", restir_light_samples=8)
+        frame("neighbors 3", restir_neighbors=3)
+        frame("ab no_field", ablate="no_field")
+        frame("ab no_initial", ablate="no_initial")
+        frame("ab no_temporal", ablate="no_temporal")
+        frame("ab no_final", ablate="no_final")
+        frame("ab no_shade", ablate="no_shade")
+        frame("ab no_lighttiles", ablate="no_lighttiles")
+        # exactness cost: queue/k budgets that zero `uncertain` on this scene
+        frame("q_inc 256", queue_avg_incoherent=256)
+        frame("exact budgets (q256 k640)", queue_avg_incoherent=256,
+              k_cap_incoherent=640)
+        frame("exact budgets (q320 k640)", queue_avg_incoherent=320,
+              k_cap_incoherent=640)
     print("DONE", flush=True)
 
 

@@ -213,7 +213,7 @@ def _masked_psnr(img, gt, mask_a, mask_b):
     stage-0 differs from GT at the silhouette; the reference evals also
     exclude background via GT masks, utils.py:600-708)."""
     both = mask_a & mask_b
-    agree = float(both.mean())
+    agree = float((mask_a == mask_b).mean())  # silhouette agreement
     mse = float(np.mean((img[both] - gt[both]) ** 2))
     return -10 * np.log10(max(mse, 1e-9)), agree
 
@@ -239,9 +239,11 @@ def test_full_pipeline_recovers_materials_and_relights(gt_pipeline_scene, tmp_pa
 
     # ---- stage 1: inverse rendering on the RECOVERED mesh ----
     cfg = finalize(Config(
-        bound=1.0, stage=1, use_brdf=True, use_restir=True, iters=300,
+        bound=1.0, stage=1, use_brdf=True, use_restir=True, iters=600,
         spp=2, pt_bounces=2, env_h=16, env_w=32, ssaa=1,
-        lambda_kd=0.0005, lambda_ks=0.0005, lambda_nrm=0.0,
+        # smoothness weights at the reference's real operating point
+        # (configs/nerf_synthetic/lego.txt: lambda_kd 0.02)
+        lambda_kd=0.02, lambda_ks=0.0005, lambda_nrm=0.0,
         lambda_lap=0.001, lambda_normal=0.0, lambda_edgelen=0.0,
         lambda_offsets=0.1, lambda_mask=0.1, lambda_lpips=0.0,
     ))
