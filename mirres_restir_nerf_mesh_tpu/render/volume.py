@@ -39,6 +39,7 @@ def render_rays(
     cam_near_far: Optional[jnp.ndarray] = None,
     stochastic_key: Optional[jax.Array] = None,
     compact_points: Optional[int] = None,
+    field_chunk: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render N rays. Returns image [N,3], depth [N], weights_sum [N], plus
     training extras (weights, xyzs, valid, sigmas, normals in sdf mode)."""
@@ -59,14 +60,41 @@ def render_rays(
 
     results: Dict[str, jnp.ndarray] = {}
 
+    def _maybe_chunked(fn, *arrays):
+        """Memory-bounded field evaluation for big inference batches.
+
+        XLA materializes the hash-grid corner-gather output ([P*8*levels, C]
+        rows) inside the small eval graph, and TPU T(8,128) tiling lane-pads
+        the C=2 minor dim 64x — a full 8192-ray x K-sample eval chunk blows
+        past HBM (observed: f32[44M,2] -> 22.5 GB).  lax.map over fixed
+        point sub-batches bounds that buffer without touching the training
+        path (field_chunk is only set by make_render_fn)."""
+        P = arrays[0].shape[0]
+        if field_chunk is None or P <= field_chunk:
+            return fn(*arrays)
+        pad = (-P) % field_chunk
+        padded = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrays]
+        n = (P + pad) // field_chunk
+        stacked = [a.reshape((n, field_chunk) + a.shape[1:]) for a in padded]
+        out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape((-1,) + o.shape[2:])[:P], out
+        )
+
     if spec.sdf:
-        dres = nerf_model.density(params, pts, spec, max_level=max_level)
-        sdf = dres["sigma"]
-        rgbs = nerf_model.color(params, dres["geo_feat"], dirs, spec)
-        raw_normal = nerf_model.normal_autodiff(params, pts, spec)
-        alphas = nerf_model.neus_alpha(
-            sdf, params["variance"], raw_normal, dirs, m.dts.reshape(-1),
-            cos_anneal_ratio=cos_anneal_ratio,
+        def _sdf_eval(p, d, dt):
+            dres = nerf_model.density(params, p, spec, max_level=max_level)
+            sdf = dres["sigma"]
+            rgbs = nerf_model.color(params, dres["geo_feat"], d, spec)
+            raw_normal = nerf_model.normal_autodiff(params, p, spec)
+            alphas = nerf_model.neus_alpha(
+                sdf, params["variance"], raw_normal, d, dt,
+                cos_anneal_ratio=cos_anneal_ratio,
+            )
+            return sdf, rgbs, raw_normal, alphas
+
+        sdf, rgbs, raw_normal, alphas = _maybe_chunked(
+            _sdf_eval, pts, dirs, m.dts.reshape(-1)
         )
         sig_for_comp = alphas.reshape(N, Kk)
         results["normal"] = raw_normal.reshape(N, Kk, 3)
@@ -90,9 +118,12 @@ def render_rays(
         )
         idx = order[:M]
         packed_in = jnp.concatenate([pts, dirs], axis=1)[idx]   # one row gather
-        sig_c, rgb_c = nerf_model.forward(
-            params, packed_in[:, 0:3], packed_in[:, 3:6], spec,
-            max_level=max_level, stochastic_key=stochastic_key,
+        sig_c, rgb_c = _maybe_chunked(
+            lambda p, d: nerf_model.forward(
+                params, p, d, spec,
+                max_level=max_level, stochastic_key=stochastic_key,
+            ),
+            packed_in[:, 0:3], packed_in[:, 3:6],
         )
         packed_out = jnp.concatenate(
             [sig_c[:, None].astype(jnp.float32), rgb_c.astype(jnp.float32)], axis=1
@@ -105,8 +136,12 @@ def render_rays(
         sig_for_comp = sigmas.reshape(N, Kk)
         alpha_mode = False
     else:
-        sigmas, rgbs = nerf_model.forward(
-            params, pts, dirs, spec, max_level=max_level, stochastic_key=stochastic_key
+        sigmas, rgbs = _maybe_chunked(
+            lambda p, d: nerf_model.forward(
+                params, p, d, spec,
+                max_level=max_level, stochastic_key=stochastic_key,
+            ),
+            pts, dirs,
         )
         sig_for_comp = sigmas.reshape(N, Kk)
         alpha_mode = False

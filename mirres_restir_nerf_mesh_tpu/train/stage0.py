@@ -252,6 +252,9 @@ def make_render_fn(cfg: Config, spec: nerf_model.NeRFSpec, use_ema: bool = True)
             params, state.occ.occ, rays_o, rays_d, spec, _aabb(cfg),
             K=cfg.samples_per_ray_infer, max_steps=cfg.max_steps,
             dt_gamma=cfg.dt_gamma, min_near=cfg.min_near, contract=cfg.contract,
+            # bound the hash-encode gather buffer on TPU (see render_rays
+            # _maybe_chunked): full 8192x96-point eval chunks OOM HBM
+            field_chunk=65536,
         )
         return out["image"], out["depth"], out["weights_sum"]
 

@@ -10,6 +10,14 @@ streams a JPEG back.  Runs against the real TPU — first request compiles
 Usage:
   python scripts/live_viewer.py --workspace ws/ --stage 0 [--port 8000]
   python scripts/live_viewer.py --workspace ws/ --stage 1 --use_brdf [--spp 2]
+
+Train-while-viewing (the reference GUI's train mode, nerf/gui.py:229-257
+train_step-per-frame): pass --train to run the full Trainer loop in a
+daemon thread of THIS process (one TPU client — two processes would fight
+over the chip); orbit renders read the live training state between steps,
+so the view sharpens as the run progresses.
+
+  python scripts/live_viewer.py --workspace ws/ --stage 0 --train --iters 5000
 """
 
 from __future__ import annotations
@@ -58,7 +66,11 @@ tick();
 </script></body></html>"""
 
 
-def main() -> None:
+# set by main() so the viewer test can watch training progress in-process
+_TRAINER_FOR_TEST = None
+
+
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workspace", required=True)
     ap.add_argument("--stage", type=int, default=0)
@@ -72,7 +84,16 @@ def main() -> None:
     ap.add_argument("--hash_levels", type=int, default=16)
     ap.add_argument("--hash_log2_size", type=int, default=19)
     ap.add_argument("--hash_max_res", type=int, default=0)
-    args = ap.parse_args()
+    ap.add_argument("--train", action="store_true",
+                    help="run the Trainer loop in a daemon thread and view "
+                         "the live state (reference gui.py train mode)")
+    ap.add_argument("--data", type=str, default="",
+                    help="dataset path for --train (blender/colmap/dtu; "
+                         "default: the synthetic sphere scene)")
+    ap.add_argument("--data_format", type=str, default="nerf")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="training iterations for --train (0 = config default)")
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -95,10 +116,44 @@ def main() -> None:
             hash_max_res=args.hash_max_res,
         )
     )
-    # trainer only needs a dataset shell for shapes
-    data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=args.bound)
+    if args.train:
+        cfg = finalize(
+            Config(
+                workspace=args.workspace, stage=args.stage, bound=args.bound,
+                use_brdf=args.use_brdf, use_restir=args.use_restir,
+                spp=args.spp, ssaa=1, data_parallel=False, fp16=args.fp16,
+                hash_levels=args.hash_levels,
+                hash_log2_size=args.hash_log2_size,
+                hash_max_res=args.hash_max_res, path=args.data,
+                data_format=args.data_format,
+                **({"iters": args.iters} if args.iters else {}),
+            )
+        )
+        if args.data:
+            from main import load_dataset
+
+            data = load_dataset(cfg, cfg.train_split)
+        else:
+            data = make_synthetic_dataset(
+                n_frames=8, H=H, W=W, bound=args.bound
+            )
+    else:
+        # trainer only needs a dataset shell for shapes
+        data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=args.bound)
     trainer = Trainer("ngp", cfg, data)
+    global _TRAINER_FOR_TEST
+    _TRAINER_FOR_TEST = trainer
     lock = threading.Lock()
+
+    if args.train:
+        # the reference GUI interleaves train steps and renders inside one
+        # process (gui.py:229-257); here the full Trainer loop runs in a
+        # daemon thread of THIS process — one TPU client, no chip contention
+        # — and orbit renders read the trainer's live (immutable) state refs
+        th_train = threading.Thread(target=trainer.train, daemon=True)
+        th_train.start()
+        print("[viewer] training in background; renders track the live state",
+              flush=True)
 
     # buffer modes: the reference GUI's mode combo ('image', 'depth') +
     # shading combo ('full', 'diffuse', 'specular') (nerf/gui.py:305,312),

@@ -1,0 +1,63 @@
+"""Live-viewer train mode (reference nerf/gui.py train-while-viewing).
+
+Starts scripts/live_viewer.py's HTTP server in-process with --train on the
+synthetic scene (CPU), fetches the page and one orbit render, and asserts
+(a) a decodable image comes back and (b) the background training thread is
+actually advancing the trainer's global step — the train-step-per-frame
+loop the reference GUI runs (gui.py:229-257), adapted to one TPU client.
+"""
+
+import io
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def test_viewer_train_mode_serves_live_renders(tmp_path):
+    from PIL import Image
+
+    sys.path.insert(0, "scripts")
+    sys.path.insert(0, ".")
+    import live_viewer
+
+    port = 8731
+    argv = [
+        "--workspace", str(tmp_path / "ws"), "--stage", "0",
+        "--train", "--iters", "120", "--size", "32", "--port", str(port),
+        "--hash_levels", "4", "--hash_log2_size", "12",
+    ]
+    th = threading.Thread(target=live_viewer.main, args=(argv,), daemon=True)
+    th.start()
+
+    def fetch(path, timeout=600):
+        deadline = time.time() + timeout
+        while True:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=timeout
+                ) as r:
+                    return r.read()
+            except Exception:
+                if time.time() > deadline:
+                    raise
+                time.sleep(1.0)
+
+    page = fetch("/")
+    assert b"live viewer" in page
+
+    img_bytes = fetch("/render?theta=1.2&phi=0.5&radius=2.2&mode=image")
+    img = np.asarray(Image.open(io.BytesIO(img_bytes)))
+    assert img.shape[:2] == (32, 32)
+    assert np.isfinite(img).all()
+
+    # the daemon training loop must be advancing steps concurrently
+    tr = live_viewer._TRAINER_FOR_TEST
+    s0 = tr.global_step
+    deadline = time.time() + 300
+    while tr.global_step <= s0 and time.time() < deadline:
+        time.sleep(1.0)
+    assert tr.global_step > s0, "training thread made no progress"
