@@ -82,6 +82,111 @@ def target_function(ctx: PixelCtx, ldir: jnp.ndarray, le: jnp.ndarray) -> jnp.nd
     return jnp.maximum(luminance(le * f), 0.0)
 
 
+class CtxPre(NamedTuple):
+    """Per-pixel precompute for the SoA target evaluation: local ONB frame,
+    view dir in local frame, GGX alpha, lobe probabilities.  All leaves keep
+    the pixel leading shape; candidate axes broadcast against them."""
+
+    t: jnp.ndarray       # [..,3] tangent
+    b: jnp.ndarray       # [..,3] bitangent
+    n: jnp.ndarray       # [..,3] normal
+    wv: jnp.ndarray      # [..,3] view dir, LOCAL frame
+    alpha: jnp.ndarray   # [..]
+    p_diff: jnp.ndarray  # [..]
+    p_spec: jnp.ndarray  # [..]
+    kd: jnp.ndarray      # [..,3]
+    metallic: jnp.ndarray  # [..]
+
+
+def precompute_ctx(ctx: PixelCtx) -> CtxPre:
+    t, b, n = brdf.onb_frame(ctx.normal)
+    wv = brdf.to_local(-ctx.view_dir, ctx.normal)
+    alpha = brdf.alpha_from_roughness(ctx.roughness)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        ctx.kd, ctx.metallic, jnp.sum(-ctx.view_dir * ctx.normal, axis=-1)
+    )
+    return CtxPre(t=t, b=b, n=n, wv=wv, alpha=alpha, p_diff=p_diff,
+                  p_spec=p_spec, kd=ctx.kd, metallic=ctx.metallic)
+
+
+def target_soa(pre: CtxPre, ld: jnp.ndarray, le: jnp.ndarray,
+               with_pdf: bool = False):
+    """SoA target evaluation: the same math as `target_function` (+
+    optionally `brdf.brdf_pdf`) written on component PLANES instead of
+    last-dim-3 vectors — last-dim-3 math wastes VPU lanes (CLAUDE.md cost
+    model; the cluster-BVH MT kernel measured ~5x from the same rewrite).
+
+    pre leaves have pixel shape [..]; ld/le are [.., K, 3] (or [.., 3]) and
+    the candidate axes broadcast: pre components are unsqueezed to match.
+    Returns p_hat [.., K] (and the mixed BRDF pdf when with_pdf)."""
+    extra = ld.ndim - pre.alpha.ndim - 1  # candidate axes beyond the pixel shape
+
+    def pp(x):  # pixel-plane -> broadcastable against candidate planes
+        return x.reshape(x.shape + (1,) * extra) if extra > 0 else x
+
+    ldx, ldy, ldz = ld[..., 0], ld[..., 1], ld[..., 2]
+    lex, ley, lez = le[..., 0], le[..., 1], le[..., 2]
+    tx, ty, tz = pp(pre.t[..., 0]), pp(pre.t[..., 1]), pp(pre.t[..., 2])
+    bx, by, bz = pp(pre.b[..., 0]), pp(pre.b[..., 1]), pp(pre.b[..., 2])
+    nx, ny, nz = pp(pre.n[..., 0]), pp(pre.n[..., 1]), pp(pre.n[..., 2])
+    wvx, wvy, wvz = pp(pre.wv[..., 0]), pp(pre.wv[..., 1]), pp(pre.wv[..., 2])
+    a = pp(pre.alpha)
+    met = pp(pre.metallic)
+    kdr, kdg, kdb = pp(pre.kd[..., 0]), pp(pre.kd[..., 1]), pp(pre.kd[..., 2])
+    gate_d = pp(pre.p_diff > 0)
+    gate_s = pp(pre.p_spec > 0)
+
+    # to_local (brdf.to_local): wl = (ld.t, ld.b, ld.n)
+    wlx = ldx * tx + ldy * ty + ldz * tz
+    wly = ldx * bx + ldy * by + ldz * bz
+    wlz = ldx * nx + ldy * ny + ldz * nz
+
+    ok = jnp.minimum(wvz, wlz) >= 1e-6
+    # diffuse_light: NdotL/pi above the horizon; kd*(1-metal) factor
+    ndl = jnp.where(ok, jnp.maximum(brdf.INV_PI * wlz, 0.0), 0.0)
+    difw = 1.0 - met
+    f_r = jnp.where(gate_d, kdr * difw * ndl, 0.0)
+    f_g = jnp.where(gate_d, kdg * difw * ndl, 0.0)
+    f_b = jnp.where(gate_d, kdb * difw * ndl, 0.0)
+
+    # specular_eval: F*D*G/(4*NdotV) with half-vector h = normalize(wv+wl)
+    hx, hy, hz = wvx + wlx, wvy + wly, wvz + wlz
+    hn = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12)
+    hx, hy, hz = hx / hn, hy / hn, hz / hn
+    vdoth = wvx * hx + wvy * hy + wvz * hz
+    a2 = a * a
+    d_ = (hz * a2 - hz) * hz + 1.0
+    D = a2 / jnp.maximum(d_ * d_ * jnp.pi, 1e-12)
+
+    def _lam(c):
+        c2 = jnp.clip(c, 1e-6, 1.0) ** 2
+        tan2 = jnp.maximum(1.0 - c2, 0.0) / c2
+        lam = 0.5 * (-1.0 + jnp.sqrt(1.0 + a2 * tan2))
+        return jnp.where(c <= 0, 0.0, lam)
+
+    G = 1.0 / jnp.maximum(1.0 + _lam(wvz) + _lam(wlz), 1e-12)
+    f5 = jnp.maximum(1.0 - vdoth, 0.0) ** 5
+    sar = brdf.F0 * (1.0 - met) + kdr * met  # spec_albedo_from, per channel
+    sag = brdf.F0 * (1.0 - met) + kdg * met
+    sab = brdf.F0 * (1.0 - met) + kdb * met
+    dg = D * G * 0.25 / jnp.maximum(wvz, 1e-6)
+    dg = jnp.where((a > 0) & ok, dg, 0.0)  # delta lobe excluded + horizon
+    f_r = f_r + jnp.where(gate_s, (sar + (1.0 - sar) * f5) * dg, 0.0)
+    f_g = f_g + jnp.where(gate_s, (sag + (1.0 - sag) * f5) * dg, 0.0)
+    f_b = f_b + jnp.where(gate_s, (sab + (1.0 - sab) * f5) * dg, 0.0)
+
+    p_hat = jnp.maximum(
+        lex * f_r * 0.2126 + ley * f_g * 0.7152 + lez * f_b * 0.0722, 0.0
+    )
+    if not with_pdf:
+        return p_hat
+    # brdf.brdf_pdf: p_diff * cos/pi + p_spec * D*hz/(4 vdoth)
+    dpdf = jnp.maximum(wlz, 0.0) * brdf.INV_PI
+    spdf = D * hz / jnp.maximum(4.0 * vdoth, 1e-12)
+    spdf = jnp.where(ok & (a > 0) & (vdoth > 0), spdf, 0.0)
+    return p_hat, pp(pre.p_diff) * dpdf + pp(pre.p_spec) * spdf
+
+
 class LightTiles(NamedTuple):
     dirs: jnp.ndarray    # [T, S, 3]
     le: jnp.ndarray      # [T, S, 3]
@@ -138,10 +243,14 @@ def initial_resampling(
     ratio = n_brdf_samples / max(n_light_samples + n_brdf_samples, 1)
 
     alpha = brdf.alpha_from_roughness(ctx.roughness)
+    t_onb, b_onb, _ = brdf.onb_frame(ctx.normal)
     w_view = brdf.to_local(-ctx.view_dir, ctx.normal)
     p_diff, p_spec = brdf.lobe_probabilities(
         ctx.kd, ctx.metallic, jnp.sum(-ctx.view_dir * ctx.normal, axis=-1)
     )
+    pre = CtxPre(t=t_onb, b=b_onb, n=ctx.normal, wv=w_view, alpha=alpha,
+                 p_diff=p_diff, p_spec=p_spec, kd=ctx.kd,
+                 metallic=ctx.metallic)
 
     # reservoir state
     w_sum = jnp.zeros((P,))
@@ -178,21 +287,20 @@ def initial_resampling(
         )
         rows = blocks[tile_id * (S // n) + blk].reshape(P, n, 7)  # [P,n,7]
 
-        # ALL light candidates evaluated at once on a [P, n] lattice (vmap
-        # over the candidate axis keeps the [P] ctx broadcasts fused): a
-        # 32-step lax.scan of [P]-wide ops starves the VPU and serializes
-        # what is embarrassingly parallel.  The streaming-reservoir pick is
-        # closed-form: with prefix sums W_i, step i picks iff
-        # u_i * W_i < w_i, and the SELECTED candidate is the last i that
-        # picked — identical rule, one vectorized pass.
+        # ALL light candidates evaluated at once on a [P, n] lattice in SoA
+        # component form (target_soa): a 32-step lax.scan of [P]-wide ops
+        # starves the VPU and serializes what is embarrassingly parallel,
+        # and last-dim-3 vector math wastes lanes (CLAUDE.md cost model).
+        # The streaming-reservoir pick is closed-form: with prefix sums W_i,
+        # step i picks iff u_i * W_i < w_i, and the SELECTED candidate is
+        # the last i that picked — identical rule, one vectorized pass.
         ld_all, le_all, lpdf_all = rows[..., 0:3], rows[..., 3:6], rows[..., 6]
-        p_hat_all = jax.vmap(
-            lambda ld, le: target_function(ctx, ld, le),
-            in_axes=(1, 1), out_axes=1,
-        )(ld_all, le_all)                                        # [P,n]
-        src_all = jax.vmap(mixed_source_pdf, in_axes=(1, 1), out_axes=1)(
-            ld_all, lpdf_all
-        )
+        if n_brdf_samples > 0:
+            p_hat_all, bpdf_all = target_soa(pre, ld_all, le_all, with_pdf=True)
+            src_all = (1.0 - ratio) * lpdf_all + ratio * bpdf_all
+        else:
+            p_hat_all = target_soa(pre, ld_all, le_all)
+            src_all = lpdf_all
         w_all = jnp.where(
             src_all > 1e-12, p_hat_all / jnp.maximum(src_all, 1e-12), 0.0
         )
@@ -248,8 +356,10 @@ def initial_resampling(
         )
         ldir = brdf.to_global(s.w_light_l, ctx.normal)
         le = envlight.eval_le_nearest(env_tex, ldir)
-        p_hat = jnp.where(s.valid, target_function(ctx, ldir, le), 0.0)
-        src = mixed_source_pdf(ldir, envlight.pdf_li(dist, ldir))
+        p_hat, bpdf_b = target_soa(pre, ldir, le, with_pdf=True)
+        p_hat = jnp.where(s.valid, p_hat, 0.0)
+        lpdf_b = envlight.pdf_li(dist, ldir)
+        src = (1.0 - ratio) * lpdf_b + ratio * bpdf_b if n_brdf_samples > 0 else lpdf_b
         w = jnp.where(s.valid & (src > 1e-12), p_hat / jnp.maximum(src, 1e-12), 0.0)
         w_sum = w_sum + w
         M = M + 1.0
@@ -320,11 +430,12 @@ def temporal_resampling(
     # p_curr is always re-evaluated (initial RIS's sel_p used the tile Le);
     # p_prev threads the previous pass's cached winner target when carried
     # (zero motion: prev's owning pixel IS this pixel, same ctx/env/formula)
-    p_curr = jnp.where(curr.valid, target_function(ctx, curr.dir, envlight.eval_le_nearest(env_tex, curr.dir)), 0.0)
+    pre = precompute_ctx(ctx)
+    p_curr = jnp.where(curr.valid, target_soa(pre, curr.dir, envlight.eval_le_nearest(env_tex, curr.dir)), 0.0)
     if prev.p is not None:
         p_prev = jnp.where(ok, prev.p, 0.0)
     else:
-        p_prev = jnp.where(ok, target_function(ctx, prev.dir, envlight.eval_le_nearest(env_tex, prev.dir)), 0.0)
+        p_prev = jnp.where(ok, target_soa(pre, prev.dir, envlight.eval_le_nearest(env_tex, prev.dir)), 0.0)
 
     w_curr = p_curr * curr.W * curr.M
     w_prev = p_prev * prev.W * prev_M
@@ -382,7 +493,8 @@ def pack_spatial_record(
     else:
         p_rec = jnp.where(
             res.valid,
-            target_function(ctx, res.dir, envlight.eval_le_nearest(env_tex, res.dir)),
+            target_soa(precompute_ctx(ctx), res.dir,
+                       envlight.eval_le_nearest(env_tex, res.dir)),
             0.0,
         )
     le_rec = envlight.eval_le_nearest(env_tex, res.dir)
@@ -460,10 +572,11 @@ def spatial_resampling(
     # canonical target pdf (nearest-texel Le: see eval_le_nearest); threaded
     # from the previous pass when cached (same pixel/dir/env -> same value)
     le_c = envlight.eval_le_nearest(env_tex, res.dir)
+    pre_c = precompute_ctx(ctx)
     if res.p is not None:
         p_canon = jnp.where(res.valid, res.p, 0.0)
     else:
-        p_canon = jnp.where(res.valid, target_function(ctx, res.dir, le_c), 0.0)
+        p_canon = jnp.where(res.valid, target_soa(pre_c, res.dir, le_c), 0.0)
 
     if nn <= 0:
         # no neighbors: spatial reuse is the identity (the reference loop
@@ -507,8 +620,18 @@ def spatial_resampling(
     # every use below is ok_flat-gated, which implies n_res.valid.
     le_n = g[:, 23:26]
     q_cand = g[:, 22]
-    q_cand_at_c = target_function(ctx_rep, n_res.dir, le_n)
-    q_canon_at_n = target_function(n_ctx, rep(res.dir), rep(le_c))
+    # cross targets in SoA component form (target_soa): per-pixel precompute
+    # broadcast over the neighbor axis for q(neighbor sample | canonical ctx),
+    # per-lane precompute for q(canonical sample | neighbor ctx)
+    q_cand_at_c = target_soa(
+        pre_c, n_res.dir.reshape(P, nn, 3), le_n.reshape(P, nn, 3)
+    ).reshape(-1)
+    pre_n = precompute_ctx(
+        PixelCtx(*(v.reshape((P, nn) + v.shape[1:]) for v in n_ctx))
+    )
+    q_canon_at_n = target_soa(
+        pre_n, res.dir[:, None, :], le_c[:, None, :]
+    ).reshape(-1)
 
     if unbiased and tracer is not None:
         # ONE batched shadow-ray traversal for both cross-visibility sets

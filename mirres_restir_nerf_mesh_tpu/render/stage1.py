@@ -448,17 +448,30 @@ def render_stage1(
         and P % static.compact_chunks == 0 and static.H > 0
     )
     if chain_chunked:
-        from ..utils.compact import chunked_tree, live_first_permutation
+        from ..utils.compact import (
+            chunked_tree, live_first_permutation, pack_cols, unpack_cols,
+        )
 
         Cn = static.compact_chunks
         csz = P // Cn
         perm, inv_perm, live = live_first_permutation(gb.mask)
-        pctx = restir_mod.PixelCtx(*(getattr(ctx, f)[perm] for f in ctx._fields))
-        # differentiable shading inputs in permuted space (gather has a
-        # scatter-add VJP, so gradients flow back to the pixel domain)
-        p_norm, p_kd = normal[perm], kd_shade[perm]
-        p_rough, p_metal = rough[perm], metal[perm]
-        res_all_p = jax.tree.map(lambda a: a[:, perm], res_all)
+        # ALL frame-constant per-pixel chain state rides ONE packed
+        # row-gather permute (pack_cols): ctx, the differentiable shading
+        # inputs (gather has a scatter-add VJP, so gradients flow back to
+        # the pixel domain), and the per-spp initial reservoirs (leaves
+        # moved to [P, spp, ...] so the pixel axis leads)
+        res_all_m = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), res_all)
+        chain_pack, chain_specs = pack_cols(
+            [getattr(ctx, f) for f in ctx._fields]
+            + [normal, kd_shade, rough, metal]
+            + [res_all_m.dir, res_all_m.W, res_all_m.M, res_all_m.valid]
+        )
+        ups = unpack_cols(chain_pack[perm], chain_specs)
+        pctx = restir_mod.PixelCtx(*ups[0:8])
+        p_norm, p_kd, p_rough, p_metal = ups[8], ups[9], ups[10], ups[11]
+        res_all_p = restir_mod.Reservoir(    # [P, spp, ...] permuted leaves
+            dir=ups[12], W=ups[13], M=ups[14], valid=ups[15]
+        )
         thread_vis = static.restir_unbiased_spatial
 
         def cslice(t, c):
@@ -470,12 +483,24 @@ def render_stage1(
             # same key derivation as the uncompacted chain; randoms drawn
             # full-width in pixel space, permuted, sliced per chunk
             k_t, k_i, k_tm, k_sp = jax.random.split(k_s, 4)
-            u_tm = jax.random.uniform(k_tm, (P,))[perm]
             k_off, k_pick = jax.random.split(k_sp)
-            st_sp = jax.random.randint(k_off, (P,), 0, offsets.shape[0])[perm]
             nn1 = static.restir_neighbors + 1
-            us_sp = jax.random.uniform(k_pick, (nn1, P))[:, perm]
-            res_s = jax.tree.map(lambda a: a[s], res_all_p)
+            # pixel-space randoms (same keys/shapes as the uncompacted
+            # chain, so chunked == unchunked bitwise), permuted with ONE
+            # packed row gather; [nn1, P] rides transposed so the permute
+            # gathers rows, never the minor axis (~35x, CLAUDE.md)
+            rpack, rspecs = pack_cols([
+                jax.random.uniform(k_tm, (P,))[:, None],
+                jax.random.randint(k_off, (P,), 0, offsets.shape[0])[:, None],
+                jnp.transpose(jax.random.uniform(k_pick, (nn1, P))),
+            ])
+            u_tm_c, st_c, us_c = unpack_cols(rpack[perm], rspecs)
+            u_tm, st_sp = u_tm_c[:, 0], st_c[:, 0]
+            us_sp = jnp.transpose(us_c)  # [nn1, P] permuted
+            res_s = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, s, 1, keepdims=False),
+                res_all_p,
+            )
 
             # pass 1 (rowwise): temporal merge per chunk
             def temporal_chunk(c):

@@ -65,6 +65,52 @@ def chunked_tree(live: jnp.ndarray, chunks: int, csz: int, run_fn: Callable):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
+def pack_cols(args: Sequence[jnp.ndarray]):
+    """Pack [P, ...] arrays into ONE [P, C] float32 carrier + specs so a
+    permutation costs ONE row gather instead of len(args) gathers — random
+    row gathers are latency-priced per ROW regardless of width (CLAUDE.md
+    cost model), so N separate `a[perm]` gathers cost N x rows while the
+    packed form costs 1 x rows.  int/bool columns ride as bitcast/cast f32
+    under stop_gradient (they carry no tangents; gathers and concats are
+    pure data movement, so the bit patterns survive untouched).  bf16/f16
+    upcast exactly."""
+    specs, cols = [], []
+    for a in args:
+        a2 = a.reshape(a.shape[0], -1)
+        dt = a.dtype
+        if dt == jnp.bool_:
+            c = jax.lax.stop_gradient(a2.astype(jnp.float32))
+        elif jnp.issubdtype(dt, jnp.integer):
+            c = jax.lax.stop_gradient(
+                jax.lax.bitcast_convert_type(a2.astype(jnp.int32), jnp.float32)
+            )
+        elif dt == jnp.float32:
+            c = a2
+        else:
+            c = a2.astype(jnp.float32)
+        specs.append((dt, a.shape[1:], a2.shape[1]))
+        cols.append(c)
+    return jnp.concatenate(cols, axis=1), specs
+
+
+def unpack_cols(packed: jnp.ndarray, specs):
+    """Inverse of pack_cols on (a row subset of) the carrier."""
+    out, col = [], 0
+    for dt, shp, w in specs:
+        c = packed[:, col:col + w]
+        col += w
+        if dt == jnp.bool_:
+            a = c > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            a = jax.lax.bitcast_convert_type(c, jnp.int32).astype(dt)
+        elif dt == jnp.float32:
+            a = c
+        else:
+            a = c.astype(dt)
+        out.append(a.reshape((c.shape[0],) + shp))
+    return out
+
+
 def masked_apply(
     fn: Callable,
     mask: jnp.ndarray,
@@ -98,13 +144,18 @@ def masked_apply(
     _, inv_perm = jax.lax.sort_key_val(perm, iota)
     live = jnp.sum(mask.astype(jnp.int32))
 
-    args_p = [a[perm] for a in args]
+    # ONE packed row-gather permute for all args (see pack_cols)
+    packed_args, specs = pack_cols(args)
+    packed_p = packed_args[perm]
     ckeys = None if key is None else jax.random.split(key, chunks)
     outs_c = []
     for c in range(chunks):
-        sl = [a[c * csz:(c + 1) * csz] for a in args_p]
-        call = (lambda sl=sl, c=c: fn(*sl)) if key is None else (
-            lambda sl=sl, c=c: fn(ckeys[c], *sl))
+        sl_p = packed_p[c * csz:(c + 1) * csz]
+        call = (
+            (lambda sl_p=sl_p: fn(*unpack_cols(sl_p, specs)))
+            if key is None
+            else (lambda sl_p=sl_p, c=c: fn(ckeys[c], *unpack_cols(sl_p, specs)))
+        )
 
         def run(call=call):
             out = call()

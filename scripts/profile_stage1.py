@@ -131,6 +131,9 @@ def main() -> None:
         # single-knob deltas attribute the frame budget; each knob's saving
         # is (full - variant).  See CLAUDE.md for the running conclusions.
         frame("spp 1", spp=1)
+        frame("spp 8", spp=8)
+        frame("spp 16", spp=16)
+        frame("spp 32 (reference train default)", spp=32)
         frame("bounces 0 (no indirect)", bounces=0)
         frame("bounces 1", bounces=1)
         frame("biased spatial (no cross-vis)", restir_unbiased_spatial=False)
@@ -157,6 +160,33 @@ def main() -> None:
               k_cap_incoherent=640)
         frame("exact budgets (q320 k640)", queue_avg_incoherent=320,
               k_cap_incoherent=640)
+        # exactness attribution (r4): which launches own the residual
+        # `uncertain` — stacked isolators + all-exact upper bound
+        frame("exact all (k640 q320 prim k640 q256)",
+              queue_avg_incoherent=320, k_cap_incoherent=640,
+              k_cap=640, queue_avg=256)
+        frame("iso primary+final (b0 no_init nn0)", bounces=0,
+              ablate="no_initial", restir_neighbors=0)
+        frame("iso primary exact (b0 no_init nn0 k640 q256)", bounces=0,
+              ablate="no_initial", restir_neighbors=0, k_cap=640,
+              queue_avg=256)
+        frame("iso indirect exact (no_init nn0 k640i q320)",
+              ablate="no_initial", restir_neighbors=0,
+              queue_avg_incoherent=320, k_cap_incoherent=640)
+        # minimal exact configs: k_cap=C with the LEANEST queue that keeps
+        # uncertain == 0 (the queue is the cost; k640 alone is ~free)
+        frame("exact try (prim k640 q256, inc k640 q64)",
+              k_cap=640, queue_avg=256, k_cap_incoherent=640)
+        frame("exact try (prim k640 q128, inc k640 q96)",
+              k_cap=640, queue_avg=128, k_cap_incoherent=640,
+              queue_avg_incoherent=96)
+        frame("exact try (prim k640 q256, inc k640 q128)",
+              k_cap=640, queue_avg=256, k_cap_incoherent=640,
+              queue_avg_incoherent=128)
+        frame("spp 32 exact (k640 q256c q64i)", spp=32,
+              k_cap=640, queue_avg=256, k_cap_incoherent=640)
+        frame("spp 8 exact (k640 q256c q64i)", spp=8,
+              k_cap=640, queue_avg=256, k_cap_incoherent=640)
     print("DONE", flush=True)
 
 

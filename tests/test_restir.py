@@ -207,3 +207,54 @@ def test_envmap_gradient_flows_through_final_samples(scene):
     g = jax.grad(loss)(env)
     assert float(jnp.sum(jnp.abs(g))) > 0
     assert bool(jnp.isfinite(g).all())
+
+
+def test_target_soa_matches_aos(scene):
+    """target_soa (the SoA component-plane fast path used by initial RIS and
+    spatial reuse) must match target_function + brdf_pdf on every call shape
+    it is used with: [P], [P,n] candidates, and broadcast [P,1] vs [P,nn]."""
+    ctx, env, dist = scene
+    key = jax.random.PRNGKey(5)
+    n = 7
+    ld = jax.random.normal(key, (P, n, 3))
+    ld = ld / jnp.linalg.norm(ld, axis=-1, keepdims=True)
+    le = jax.random.uniform(jax.random.fold_in(key, 1), (P, n, 3)) * 3.0
+
+    pre = restir.precompute_ctx(ctx)
+    # [P,n] lattice with pdf
+    p_soa, pdf_soa = restir.target_soa(pre, ld, le, with_pdf=True)
+    w_view = brdf.to_local(-ctx.view_dir, ctx.normal)
+    alpha = brdf.alpha_from_roughness(ctx.roughness)
+    p_diff, p_spec = brdf.lobe_probabilities(
+        ctx.kd, ctx.metallic, jnp.sum(-ctx.view_dir * ctx.normal, axis=-1)
+    )
+    for j in range(n):
+        p_ref = restir.target_function(ctx, ld[:, j], le[:, j])
+        pdf_ref = brdf.brdf_pdf(
+            w_view, brdf.to_local(ld[:, j], ctx.normal), alpha, p_diff, p_spec
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_soa[:, j]), np.asarray(p_ref), rtol=2e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(pdf_soa[:, j]), np.asarray(pdf_ref), rtol=2e-5, atol=1e-7
+        )
+    # flat [P] shape (temporal / canonical path)
+    p_flat = restir.target_soa(pre, ld[:, 0], le[:, 0])
+    np.testing.assert_allclose(
+        np.asarray(p_flat),
+        np.asarray(restir.target_function(ctx, ld[:, 0], le[:, 0])),
+        rtol=2e-5, atol=1e-7,
+    )
+    # [P,1] candidate broadcast against [P,nn] ctx (q_canon_at_n shape)
+    nn = 3
+    ctx2 = restir.PixelCtx(
+        *(jnp.repeat(v, nn, axis=0).reshape((P, nn) + v.shape[1:]) for v in ctx)
+    )
+    pre2 = restir.precompute_ctx(ctx2)
+    p_b = restir.target_soa(pre2, ld[:, 0][:, None, :], le[:, 0][:, None, :])
+    np.testing.assert_allclose(
+        np.asarray(p_b[:, 0]),
+        np.asarray(restir.target_function(ctx, ld[:, 0], le[:, 0])),
+        rtol=2e-5, atol=1e-7,
+    )
