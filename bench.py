@@ -6,11 +6,17 @@ frame + per-spp ReSTIR initial/spatial/final visibility + bounce
 closest-hits + bounce NEE shadows) through the full render_stage1 forward.
 vs_baseline is relative to the 50 Mrays/s/chip north-star target.
 
-Operating point (honest, per VERDICT r1): 256x256 pixels, spp 4, 2 bounces,
-5 spatial neighbors with cross-visibility, ~100k triangles, reference light
-tiles (128 x 1024).  Reported value is the median of 5 timed frames; each
-frame is forced to completion with a scalar fetch (block_until_ready does
-not block through the axon tunnel).
+Operating point: 256x256 pixels, spp 32 — the reference's TRAIN-TIME
+default (reference main.py:108, BASELINE.md) — 2 bounces, 5 spatial
+neighbors with cross-visibility, ~100k triangles, reference light tiles
+(128 x 1024), and EXACT tracer budgets (k_cap = cluster count, uncertain
+== 0: no ray's result can lie in a budget-dropped candidate).  r1-r3
+benches ran spp 4 (compile-budget caution); spp is a linear scan axis
+(~36.5 ms/spp marginal, CLAUDE.md), so the spp-4 history converts as
+(1 + 4*per_spp) / (1 + 32*per_spp) rays-per-frame ratio.  Reported value
+is the median of timed frame groups; each group is forced to completion
+with a scalar fetch (block_until_ready does not block through the axon
+tunnel).
 
 The environment is a realistic sky+sun HDR (bright sun disk, sky gradient,
 ground bounce) — the workload the reference trains on (real HDRIs /
@@ -70,7 +76,7 @@ def main() -> None:
     verts, tris = decimate(verts, tris, 100_000)
 
     H = W = 256
-    SPP = 4
+    SPP = 32
     BOUNCES = 2
     NEIGHBORS = 5
 
@@ -87,6 +93,12 @@ def main() -> None:
         restir_light_samples=32, restir_brdf_samples=1,
         restir_neighbors=NEIGHBORS, restir_radius=30.0, restir_offsets=8192,
         denoise_iters=4,
+        # exact tracer budgets for this scene (~624 clusters at S=128):
+        # k_cap = C everywhere is ~free, and the lean queues keep the
+        # work-queue from truncating (measured r4, CLAUDE.md "Exactness
+        # attribution") -> uncertain_per_frame == 0
+        k_cap=640, queue_avg=256, k_cap_incoherent=640,
+        queue_avg_incoherent=64,
     )
     key = jax.random.PRNGKey(0)
     # sky+sun env: cosine-graded sky, 60x sun disk, warm ground
@@ -110,7 +122,7 @@ def main() -> None:
     # body = the full frame; the vertex offsets are perturbed per iteration
     # so the per-step BVH rebuild is NOT hoisted as loop-invariant — training
     # rebuilds it every step) and pay ONE dispatch + ONE fetch per repeat.
-    N_FRAMES = 4
+    N_FRAMES = 2  # ~1.3 s/frame at spp 32; 2 frames bound the bench wall time
 
     @jax.jit
     def run_frames(params, ro, rd, key):

@@ -487,13 +487,20 @@ def pack_spatial_record(
     Columns 22 (p_hat at the owning pixel) and 23:26 (nearest-texel Le of
     res.dir) let the spatial pass skip re-evaluating the neighbor's own
     target function and envmap tap on the [P*nn] axis: both are functions
-    of the neighbor's (ctx, dir, env) only, already known per pixel."""
+    of the neighbor's (ctx, dir, env) only, already known per pixel.
+
+    Columns 26:38 carry the neighbor's shading-frame precompute (tangent,
+    bitangent, local view dir, alpha, lobe probabilities): the cross term
+    q(canonical sample | neighbor ctx) then needs NO onb/lobe math on the
+    [P*nn] lane axis — it is a per-PIXEL quantity computed once here and
+    gathered, the same move as the p_hat/Le threading above."""
+    pre = precompute_ctx(ctx)
     if res.p is not None:
         p_rec = jnp.where(res.valid, res.p, 0.0)
     else:
         p_rec = jnp.where(
             res.valid,
-            target_soa(precompute_ctx(ctx), res.dir,
+            target_soa(pre, res.dir,
                        envlight.eval_le_nearest(env_tex, res.dir)),
             0.0,
         )
@@ -506,6 +513,8 @@ def pack_spatial_record(
             res.dir, res.W[:, None], res.M[:, None],
             res.valid.astype(jnp.float32)[:, None],
             p_rec[:, None], le_rec,
+            pre.t, pre.b, pre.wv, pre.alpha[:, None],
+            pre.p_diff[:, None], pre.p_spec[:, None],
         ]
         + ([v_self.astype(jnp.float32)[:, None]] if v_self is not None else []),
         axis=1,
@@ -621,13 +630,21 @@ def spatial_resampling(
     le_n = g[:, 23:26]
     q_cand = g[:, 22]
     # cross targets in SoA component form (target_soa): per-pixel precompute
-    # broadcast over the neighbor axis for q(neighbor sample | canonical ctx),
-    # per-lane precompute for q(canonical sample | neighbor ctx)
+    # broadcast over the neighbor axis for q(neighbor sample | canonical
+    # ctx); for q(canonical sample | neighbor ctx) the neighbor's
+    # shading-frame precompute rides the packed record (cols 26:38) — no
+    # onb/lobe math on the [P*nn] lane axis
     q_cand_at_c = target_soa(
         pre_c, n_res.dir.reshape(P, nn, 3), le_n.reshape(P, nn, 3)
     ).reshape(-1)
-    pre_n = precompute_ctx(
-        PixelCtx(*(v.reshape((P, nn) + v.shape[1:]) for v in n_ctx))
+
+    def g2(lo, hi):
+        return g[:, lo:hi].reshape((P, nn) + ((hi - lo,) if hi - lo > 1 else ()))
+
+    pre_n = CtxPre(
+        t=g2(26, 29), b=g2(29, 32), n=g2(3, 6), wv=g2(32, 35),
+        alpha=g2(35, 36), p_diff=g2(36, 37), p_spec=g2(37, 38),
+        kd=g2(9, 12), metallic=g2(13, 14),
     )
     q_canon_at_n = target_soa(
         pre_n, res.dir[:, None, :], le_c[:, None, :]
@@ -687,7 +704,7 @@ def spatial_resampling(
                     )
                     vc2 = vc2.at[:, j].set(jnp.where(m, vc2[:, i], vc2[:, j]))
             vis_c = vc2.reshape(-1)
-            vis_n = jnp.where(same, g[:, 26] > 0.5, ~occ2[P * nn :])
+            vis_n = jnp.where(same, g[:, 38] > 0.5, ~occ2[P * nn :])
         else:
             tmax_pair = jnp.where(ok_flat, 1e9, 0.0)
             occ2 = tracer.occluded(

@@ -187,6 +187,21 @@ def main() -> None:
               k_cap=640, queue_avg=256, k_cap_incoherent=640)
         frame("spp 8 exact (k640 q256c q64i)", spp=8,
               k_cap=640, queue_avg=256, k_cap_incoherent=640)
+        # component re-ablation at the exact-budget baseline (r4 final op
+        # point): single-knob deltas vs "exact try (prim k640 q256, inc
+        # k640 q64)"
+        EX = dict(k_cap=640, queue_avg=256, k_cap_incoherent=640)
+        frame("xb:spp 1", spp=1, **EX)
+        frame("xb:bounces 0", bounces=0, **EX)
+        frame("xb:biased spatial", restir_unbiased_spatial=False, **EX)
+        frame("xb:no spatial", restir_neighbors=0, **EX)
+        frame("xb:neighbors 3", restir_neighbors=3, **EX)
+        frame("xb:light samples 16", restir_light_samples=16, **EX)
+        frame("xb:no_field", ablate="no_field", **EX)
+        frame("xb:no_initial", ablate="no_initial", **EX)
+        frame("xb:no_lighttiles", ablate="no_lighttiles", **EX)
+        frame("xb:no denoise", denoise_iters=0, **EX)
+        frame("xb:compact chunks 8", compact_chunks=8, **EX)
     print("DONE", flush=True)
 
 

@@ -10,13 +10,16 @@ pipeline the reference user runs (readme.md:74-113) —
 — and assert joint recovery ACCURACY, not just train-loss finiteness:
   * recovered albedo within 0.05 mean-abs error after the per-channel
     median scale (the reference albedo_eval.py:115-119 protocol),
-  * BRDF re-render PSNR >= 30 against the ground-truth images,
+  * BRDF re-render PSNR >= 30 against the ground-truth images at 64 eval
+    spp (the reference NVS protocol evaluates at 512 spp, readme.md:93;
+    at 16 spp the render is MC-noise-limited ~2 dB below its converged
+    quality — measured with scripts/probe_quality_gate.py),
   * a relight render under a HELD-OUT envmap matches the analytic GT.
 
 GT images are rendered with the deterministic dump renderer (full-texel
 quadrature direct light) + high-sample MC indirect — an estimator family
-disjoint from the ReSTIR pipeline under test.  ~25 min on CPU ->
-RUN_SLOW_TESTS only.  Thresholds recorded in PARITY.md.
+disjoint from the ReSTIR pipeline under test.  ~90 min on CPU (25 with
+QE2E_CACHE=1 primed) -> RUN_SLOW_TESTS only.  Thresholds recorded in PARITY.md.
 """
 
 import os
@@ -362,7 +365,7 @@ def test_full_pipeline_recovers_materials_and_relights(gt_pipeline_scene, tmp_pa
     # the learned env as-is (reference utils.py evaluate: the kd/env scale
     # ambiguity cancels in the product; applying the albedo scale without
     # inversely scaling the env would double-count it)
-    nvs_static = dataclasses.replace(static, spp=16, denoise_iters=3)
+    nvs_static = dataclasses.replace(static, spp=64, denoise_iters=3)
 
     @jax.jit
     def eval_render_nvs(p, ro, rd, k):
@@ -382,7 +385,7 @@ def test_full_pipeline_recovers_materials_and_relights(gt_pipeline_scene, tmp_pa
     # relight renders (gate 3) DO apply the albedo scale: under the KNOWN
     # held-out env the recovered kd must be in GT units
     # (readme.md:105-113, albedo-scale corrected relighting)
-    eval_static = dataclasses.replace(static, spp=16, denoise_iters=3)
+    eval_static = dataclasses.replace(static, spp=64, denoise_iters=3)
 
     @jax.jit
     def eval_render(p, ro, rd, k, env):
