@@ -331,15 +331,43 @@ def build_sampler(tex: jnp.ndarray, m: int = 65536) -> EnvSampler:
 
 
 def _sample_li_table(
-    tex: jnp.ndarray, s: EnvSampler, rnd: jnp.ndarray
+    tex: jnp.ndarray, s: EnvSampler, rnd: jnp.ndarray, nearest_le: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """O(1)-per-sample draw through the quantile table: one table row gather,
-    one pdf gather, one bilinear Le tap."""
+    """O(1)-per-sample draw through the quantile table.
+
+    nearest_le=False: one table gather, one pdf gather, one bilinear Le tap
+    (radiance that reaches the image must be the differentiable bilinear).
+    nearest_le=True: ONE gather per sample of a per-quantile packed record
+    (row, col, pdf, center-texel Le) — for light-TILE presampling, whose Le
+    only ever enters resampling target functions (the final-sample eval
+    re-evaluates the winner's Le bilinearly), the same nearest-texel target
+    convention the reuse passes already use (eval_le_nearest)."""
     H, W = tex.shape[0], tex.shape[1]
     m = s.table.shape[0]
     u1, u2 = rnd[..., 0], rnd[..., 1]
     k = jnp.clip((u1 * m).astype(jnp.int32), 0, m - 1)
     frac = u1 * m - k                     # leftover mass -> in-texel jitter
+    if nearest_le:
+        texel = s.table
+        rec_tex = jnp.concatenate(
+            [
+                (texel // W).astype(jnp.float32)[:, None],
+                (texel % W).astype(jnp.float32)[:, None],
+                s.pdf.reshape(-1)[texel][:, None],
+                tex.reshape(H * W, -1)[texel],
+            ],
+            axis=1,
+        )  # [m, 6]
+        r = rec_tex[k]
+        rowf, colf, pdf, le = r[..., 0], r[..., 1], r[..., 2], r[..., 3:6]
+        u = (colf + u2) / W
+        v_tex = (rowf + jnp.clip(frac, 0.0, 1.0 - 1e-6)) / H
+        uv = jnp.stack([u, 1.0 - v_tex], axis=-1)
+        d_remap = uv_to_dir(uv)
+        dir_world = jnp.stack(
+            [-d_remap[..., 0], d_remap[..., 2], d_remap[..., 1]], axis=-1
+        )
+        return dir_world, le, pdf
     texel = s.table[k]
     row = texel // W
     col = texel % W

@@ -200,9 +200,18 @@ def generate_light_tiles(
     n_tiles: int = 128,
     tile_size: int = 1024,
 ) -> LightTiles:
-    """Presample stratified envmap samples (GenerateLightTiles.slang:15-61)."""
+    """Presample stratified envmap samples (GenerateLightTiles.slang:15-61).
+
+    Tile Le uses the nearest-texel record fast path when the O(1) sampler
+    is in play: tile radiance only enters resampling targets (see
+    _sample_li_table nearest_le)."""
     rnd = jax.random.uniform(key, (n_tiles, tile_size, 2))
-    dirs, le, pdf = envlight.sample_li(env_tex, dist, rnd.reshape(-1, 2))
+    if isinstance(dist, envlight.EnvSampler):
+        dirs, le, pdf = envlight._sample_li_table(
+            env_tex, dist, rnd.reshape(-1, 2), nearest_le=True
+        )
+    else:
+        dirs, le, pdf = envlight.sample_li(env_tex, dist, rnd.reshape(-1, 2))
     return LightTiles(
         dirs=dirs.reshape(n_tiles, tile_size, 3),
         le=le.reshape(n_tiles, tile_size, 3),
@@ -225,7 +234,8 @@ def initial_resampling(
     """RIS over light-tile + BRDF candidates (InitialResampling.slang:149-295).
 
     rand: optional pre-drawn randoms (tile_id [P] int32, blk [P] int32,
-    us [(n_light+n_brdf), P], brdf_us list of (u_sel, u_d, u_s) per BRDF
+    us [(1+n_brdf), P] for the packed fast path ([(n_light+n_brdf), P] for
+    the strided slow path), brdf_us list of (u_sel, u_d, u_s) per BRDF
     sample) — live-lane-compacted callers draw them in pixel space so
     chunked calls equal the uncompacted call bitwise (requires the packed
     candidate-block fast path, S % n_light_samples == 0; the strided slow
@@ -233,6 +243,7 @@ def initial_resampling(
     P = ctx.position.shape[0]
     T, S = tiles.pdf.shape
     k_tile, k_off, k_u, k_brdf, k_ub = jax.random.split(key, 5)
+    fast_path = n_light_samples > 0 and S % n_light_samples == 0
 
     if rand is not None:
         tile_id, blk_r, us_r, brdf_us = rand
@@ -259,9 +270,8 @@ def initial_resampling(
     sel_p = jnp.zeros((P,))  # targetPdf of selected
     sel_valid = jnp.zeros((P,), bool)
 
-    us = us_r if us_r is not None else jax.random.uniform(
-        k_u, (n_light_samples + n_brdf_samples, P)
-    )
+    n_us = (1 if fast_path else n_light_samples) + n_brdf_samples
+    us = us_r if us_r is not None else jax.random.uniform(k_u, (n_us, P))
 
     def mixed_source_pdf(ldir, lpdf):
         if n_brdf_samples > 0:
@@ -280,7 +290,7 @@ def initial_resampling(
         [tiles.dirs, tiles.le, tiles.pdf[..., None]], axis=-1
     )  # [T, S, 7]
     n = n_light_samples
-    if n > 0 and S % n == 0:
+    if fast_path:
         blocks = table.reshape(T * (S // n), n * 7)
         blk = blk_r if blk_r is not None else jax.random.randint(
             k_off, (P,), 0, S // n
@@ -304,19 +314,27 @@ def initial_resampling(
         w_all = jnp.where(
             src_all > 1e-12, p_hat_all / jnp.maximum(src_all, 1e-12), 0.0
         )
+        # The streaming-reservoir pick over materialized weights IS a
+        # categorical draw (reservoir sampling selects candidate i with
+        # probability w_i / W): ONE inverse-CDF uniform per lane replaces
+        # the per-candidate uniforms — 32x fewer random draws and a 60%
+        # narrower compaction carrier, identical winner distribution.
+        # Zero-weight candidates have a flat cumsum segment and are never
+        # selected; u in [0,1) keeps the index < n (min() guards the
+        # round-to-W edge).
         w_cum = jnp.cumsum(w_all, axis=1)
-        pick_all = (us[:n].T * w_cum < w_all)                    # [P,n]
-        any_pick = jnp.any(pick_all, axis=1)
-        last = (n - 1) - jnp.argmax(
-            jnp.flip(pick_all, axis=1).astype(jnp.int32), axis=1
+        W_l = w_cum[:, -1]
+        any_pick = W_l > 0
+        tgt = us[0] * W_l
+        idx = jnp.minimum(
+            jnp.sum((w_cum <= tgt[:, None]).astype(jnp.int32), axis=1), n - 1
         )
-        idx = jnp.where(any_pick, last, 0)
         onehot = (jnp.arange(n)[None, :] == idx[:, None]).astype(jnp.float32)
         sel_dir = jnp.einsum("pn,pnc->pc", onehot, ld_all)
         sel_p = jnp.sum(p_hat_all * onehot, axis=1)
         sel_dir = jnp.where(any_pick[:, None], sel_dir, 0.0)
         sel_p = jnp.where(any_pick, sel_p, 0.0)
-        w_sum = w_cum[:, -1]
+        w_sum = W_l
         M = jnp.full((P,), float(n))
         sel_valid = any_pick
         light_body = None
@@ -363,7 +381,7 @@ def initial_resampling(
         w = jnp.where(s.valid & (src > 1e-12), p_hat / jnp.maximum(src, 1e-12), 0.0)
         w_sum = w_sum + w
         M = M + 1.0
-        pick = us[n_light_samples + j] * w_sum < w
+        pick = us[(1 if fast_path else n_light_samples) + j] * w_sum < w
         sel_dir = jnp.where(pick[:, None], ldir, sel_dir)
         sel_p = jnp.where(pick, p_hat, sel_p)
         sel_valid = sel_valid | pick
@@ -383,12 +401,20 @@ def initial_resampling(
         sel_valid & (sel_p > 0), (w_sum / jnp.maximum(M, 1.0)) / jnp.maximum(sel_p, 1e-12), 0.0
     )
     W = jnp.where(jnp.isfinite(W), W, 0.0)
-    # p stays None: initial RIS evaluates its target with the PRESAMPLED
-    # tile Le (bilinear at the tile's jittered uv, GenerateLightTiles), a
-    # different lookup than the nearest-texel target the reuse passes share
-    # — so the winner's sel_p is not reusable as their p_hat (temporal
-    # recomputes p_curr, exactly as the reference re-evaluates it).
-    return Reservoir(dir=sel_dir, W=W, M=jnp.ones((P,)), valid=sel_valid & (W > 0))
+    # sel_p threading: with the O(1) sampler the light tiles carry the
+    # NEAREST-texel Le of their quantile texel (generate_light_tiles), the
+    # in-texel jitter never leaves that texel, and the BRDF candidates
+    # already use eval_le_nearest — so sel_p == target_soa(pre, sel_dir,
+    # eval_le_nearest(sel_dir)), exactly the p_curr temporal would
+    # recompute (same pixel ctx, same formula, same Le convention).  Cache
+    # it on the reservoir so the whole reuse chain threads targets with
+    # ZERO per-pass re-evaluation.  The legacy EnvDistribution path's tiles
+    # are bilinear-Le -> not threadable (p stays None, temporal recomputes,
+    # matching the reference's re-evaluation).
+    p_out = sel_p if isinstance(dist, envlight.EnvSampler) else None
+    return Reservoir(
+        dir=sel_dir, W=W, M=jnp.ones((P,)), valid=sel_valid & (W > 0), p=p_out
+    )
 
 
 def _valid_neighbor(ctx: PixelCtx, n_normal, n_depth, normal_thresh=0.5, depth_thresh=0.1):
@@ -427,14 +453,21 @@ def temporal_resampling(
 
     # stream current then previous through a reservoir (res.slang:115-134);
     # nearest-texel Le in the target function (see eval_le_nearest).
-    # p_curr is always re-evaluated (initial RIS's sel_p used the tile Le);
-    # p_prev threads the previous pass's cached winner target when carried
-    # (zero motion: prev's owning pixel IS this pixel, same ctx/env/formula)
-    pre = precompute_ctx(ctx)
-    p_curr = jnp.where(curr.valid, target_soa(pre, curr.dir, envlight.eval_le_nearest(env_tex, curr.dir)), 0.0)
+    # Both targets THREAD when cached (zero motion: the owning pixel never
+    # changes, same ctx/env/formula): p_curr from initial RIS's sel_p
+    # (nearest-texel tile Le, see initial_resampling), p_prev from the
+    # previous pass's winner target.  Uncached reservoirs re-evaluate,
+    # exactly as the reference does.
+    pre = None
+    if curr.p is not None:
+        p_curr = jnp.where(curr.valid, curr.p, 0.0)
+    else:
+        pre = precompute_ctx(ctx)
+        p_curr = jnp.where(curr.valid, target_soa(pre, curr.dir, envlight.eval_le_nearest(env_tex, curr.dir)), 0.0)
     if prev.p is not None:
         p_prev = jnp.where(ok, prev.p, 0.0)
     else:
+        pre = precompute_ctx(ctx) if pre is None else pre
         p_prev = jnp.where(ok, target_soa(pre, prev.dir, envlight.eval_le_nearest(env_tex, prev.dir)), 0.0)
 
     w_curr = p_curr * curr.W * curr.M

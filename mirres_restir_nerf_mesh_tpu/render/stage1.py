@@ -339,7 +339,10 @@ def render_stage1(
         i_blk = jax.random.randint(
             ki_b, (Nb,), 0, max(static.restir_tile_size // max(nl, 1), 1)
         )
-        i_us = jax.random.uniform(ki_u, (Nb, nl + nbs))      # [Nb, n] rowwise
+        # ONE categorical-pick uniform for the whole light-candidate block
+        # (+ one reservoir-stream uniform per BRDF candidate): the packed
+        # fast path's pick is an inverse-CDF draw (see initial_resampling)
+        i_us = jax.random.uniform(ki_u, (Nb, 1 + nbs))       # rowwise
         i_bu = jax.random.uniform(ki_s, (Nb, max(nbs, 1) * 5))
 
         def initial_fn(tid_c, blk_c, us_c, bu_c, *ctx_fields):
@@ -355,22 +358,28 @@ def render_stage1(
                 check_visibility=False,
                 rand=(tid_c[:, 0], blk_c[:, 0], us_c.T, bus),
             )
-            return r.dir, r.W[:, None], r.M[:, None], r.valid.astype(jnp.float32)[:, None]
+            # r.p is always set on this path (env_dist is an EnvSampler:
+            # nearest-texel tile Le, see initial_resampling sel_p threading)
+            return (r.dir, r.W[:, None], r.M[:, None],
+                    r.valid.astype(jnp.float32)[:, None], r.p[:, None])
 
-        if "no_initial" in ab:  # profiling-only: fixed up-facing winner
+        if "no_initial" in ab:  # profiling-only: fixed up-facing winner (p
+            # set so downstream keeps the exact-reuse threading structure)
             res0_b = restir_mod.Reservoir(
                 dir=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (Nb, 3)),
                 W=jnp.ones((Nb,)), M=jnp.ones((Nb,)), valid=ctx_b.mask,
+                p=jnp.ones((Nb,)),
             )
         else:
-            r_dir, r_w, r_m, r_v = masked_apply(
+            r_dir, r_w, r_m, r_v, r_p = masked_apply(
                 initial_fn, ctx_b.mask,
                 (i_tile[:, None], i_blk[:, None], i_us, i_bu)
                 + tuple(getattr(ctx_b, f) for f in ctx_b._fields),
-                fills=(0.0, 0.0, 0.0, 0.0), chunks=static.compact_chunks,
+                fills=(0.0, 0.0, 0.0, 0.0, 0.0), chunks=static.compact_chunks,
             )
             res0_b = restir_mod.Reservoir(
-                dir=r_dir, W=r_w[:, 0], M=r_m[:, 0], valid=r_v[:, 0] > 0.5
+                dir=r_dir, W=r_w[:, 0], M=r_m[:, 0], valid=r_v[:, 0] > 0.5,
+                p=r_p[:, 0],
             )
         init_occ_rays = (
             ctx_b.position + ctx_b.normal * 1e-4,
@@ -464,13 +473,14 @@ def render_stage1(
         chain_pack, chain_specs = pack_cols(
             [getattr(ctx, f) for f in ctx._fields]
             + [normal, kd_shade, rough, metal]
-            + [res_all_m.dir, res_all_m.W, res_all_m.M, res_all_m.valid]
+            + [res_all_m.dir, res_all_m.W, res_all_m.M, res_all_m.valid,
+               res_all_m.p]
         )
         ups = unpack_cols(chain_pack[perm], chain_specs)
         pctx = restir_mod.PixelCtx(*ups[0:8])
         p_norm, p_kd, p_rough, p_metal = ups[8], ups[9], ups[10], ups[11]
         res_all_p = restir_mod.Reservoir(    # [P, spp, ...] permuted leaves
-            dir=ups[12], W=ups[13], M=ups[14], valid=ups[15]
+            dir=ups[12], W=ups[13], M=ups[14], valid=ups[15], p=ups[16]
         )
         thread_vis = static.restir_unbiased_spatial
 

@@ -185,6 +185,27 @@ def main() -> None:
                 cm, o, d, tm, k_cap=C, sort_octants="morton",
                 queue_avg=q)[1], ppj, dmj, tm2)
 
+    if "--xvis" in sys.argv:
+        # launch-SIZE sweep on the cross-vis shape (mixed dirs, 34% live):
+        # reads off the fixed (prep/sort/queue-build) vs per-ray cost split
+        # — the spp chain fires ONE such launch per spp at ~163k rays
+        sun = np.array([0.2, 0.5, 0.84]); sun /= np.linalg.norm(sun)
+        for Nx in (40960, 81920, 163840, 327680, 655360):
+            repn = int(np.ceil(Nx / pts.shape[0]))
+            ppx = jnp.asarray((np.tile(pts, (repn, 1))[:Nx] + 1e-4)
+                              .astype(np.float32))
+            dn_x = sun[None] + 0.25 * rng.standard_normal((Nx, 3))
+            db_x = rng.standard_normal((Nx, 3))
+            dm_x = np.where(rng.rand(Nx, 1) < 0.5, dn_x, db_x)
+            dm_x /= np.linalg.norm(dm_x, axis=1, keepdims=True)
+            dmx = jnp.asarray(dm_x.astype(np.float32))
+            tmx = jnp.asarray(np.where(rng.rand(Nx) < 0.34, 1e9, 0.0)
+                              .astype(np.float32))
+            tag = f"cross-vis anyhit N={Nx} k=C q64"
+            bench(tag, lambda o, d, tm: jnp.sum(tile_tracer.occluded_tiles_t(
+                cm, o, d, tm, k_cap=C, sort_octants="morton",
+                queue_avg=64)[0].astype(jnp.float32)), ppx, dmx, tmx)
+
     print("DONE", flush=True)
 
 

@@ -202,6 +202,19 @@ def main() -> None:
         frame("xb:no_lighttiles", ablate="no_lighttiles", **EX)
         frame("xb:no denoise", denoise_iters=0, **EX)
         frame("xb:compact chunks 8", compact_chunks=8, **EX)
+        frame("xb:brdf samples 0", restir_brdf_samples=0, **EX)
+        frame("xb:exact baseline", **EX)
+        # spp-32 attribution at the BENCH operating point (the spp-4 deltas
+        # under-resolve the per-spp passes; these directly attribute the
+        # bench frame).  Each is a fresh ~4 min compile — use --only.
+        frame("s32:exact baseline", spp=32, **EX)
+        frame("s32:no_initial", spp=32, ablate="no_initial", **EX)
+        frame("s32:no_temporal", spp=32, ablate="no_temporal", **EX)
+        frame("s32:biased spatial", spp=32, restir_unbiased_spatial=False, **EX)
+        frame("s32:no spatial", spp=32, restir_neighbors=0, **EX)
+        frame("s32:bounces 0", spp=32, bounces=0, **EX)
+        frame("s32:no denoise", spp=32, denoise_iters=0, **EX)
+        frame("s32:no_field", spp=32, ablate="no_field", **EX)
     print("DONE", flush=True)
 
 
