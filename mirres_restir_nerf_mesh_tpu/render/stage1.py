@@ -477,10 +477,17 @@ def render_stage1(
                res_all_m.p]
         )
         ups = unpack_cols(chain_pack[perm], chain_specs)
-        pctx = restir_mod.PixelCtx(*ups[0:8])
+        # re-detach the resampling-side slices: the ONE packed carrier mixes
+        # detached ctx/reservoir columns with the differentiable shading
+        # inputs, so every unpacked slice structurally carries the carrier's
+        # tangent — and a (zero) tangent reaching a tracer launch breaks
+        # grad (pallas_call has no JVP rule).  Only the shading inputs
+        # (p_norm/p_kd/p_rough/p_metal) keep gradients; their VJP flows back
+        # through the carrier gather's scatter-add.
+        pctx = restir_mod.PixelCtx(*(sg(u) for u in ups[0:8]))
         p_norm, p_kd, p_rough, p_metal = ups[8], ups[9], ups[10], ups[11]
         res_all_p = restir_mod.Reservoir(    # [P, spp, ...] permuted leaves
-            dir=ups[12], W=ups[13], M=ups[14], valid=ups[15], p=ups[16]
+            *(sg(u) for u in ups[12:17])
         )
         thread_vis = static.restir_unbiased_spatial
 
