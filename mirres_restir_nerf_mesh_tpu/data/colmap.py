@@ -93,25 +93,31 @@ def read_cameras_text(path: str) -> Dict[int, dict]:
 def read_images_text(path: str) -> Dict[int, dict]:
     """images.txt (reference colmap_utils.py:129-166): two lines per image —
     `IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME` then the 2D-point track
-    line `X Y POINT3D_ID ...` (POINT3D_ID -1 = untracked)."""
+    line `X Y POINT3D_ID ...` (POINT3D_ID -1 = untracked).
+
+    The track line is read UNCONDITIONALLY from the raw stream (reference
+    colmap_utils.py:157 uses readline()): an image with zero POINTS2D has an
+    EMPTY second line, which a blank-skipping iterator would swallow,
+    consuming the next image's header as this image's track."""
     images = {}
-    it = _text_lines(path)
-    for line in it:
-        el = line.split()
-        iid = int(el[0])
-        qvec = np.array([float(x) for x in el[1:5]])
-        tvec = np.array([float(x) for x in el[5:8]])
-        cam_id = int(el[8])
-        name = el[9]
-        try:
-            pts = next(it).split()
-        except StopIteration:
-            pts = []
-        xys = np.array([float(x) for x in pts], np.float64).reshape(-1, 3)
-        images[iid] = dict(
-            qvec=qvec, tvec=tvec, camera_id=cam_id, name=name,
-            xys=xys[:, :2], point3D_ids=xys[:, 2].astype(np.int64),
-        )
+    with open(path) as f:
+        it = iter(f)
+        for line in it:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            el = line.split()
+            iid = int(el[0])
+            qvec = np.array([float(x) for x in el[1:5]])
+            tvec = np.array([float(x) for x in el[5:8]])
+            cam_id = int(el[8])
+            name = el[9]
+            pts = next(it, "").split()  # raw line; empty = zero points
+            xys = np.array([float(x) for x in pts], np.float64).reshape(-1, 3)
+            images[iid] = dict(
+                qvec=qvec, tvec=tvec, camera_id=cam_id, name=name,
+                xys=xys[:, :2], point3D_ids=xys[:, 2].astype(np.int64),
+            )
     return images
 
 

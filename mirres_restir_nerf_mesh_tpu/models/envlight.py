@@ -367,6 +367,13 @@ def _sample_li_table(
         dir_world = jnp.stack(
             [-d_remap[..., 0], d_remap[..., 2], d_remap[..., 1]], axis=-1
         )
+        # Match eval_le_nearest's pole-cone convention (it zeroes Le at
+        # sin_theta < 1e-4) so a p-hat threaded from this record equals the
+        # one temporal/spatial would re-evaluate.  The remaining gap is the
+        # uv->dir->uv float roundtrip, which can flip to an adjacent texel
+        # exactly at texel boundaries — threading is NEAR-exact, not bitwise.
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - d_remap[..., 1] ** 2, 0.0))
+        le = jnp.where(sin_theta[..., None] < 1e-4, 0.0, le)
         return dir_world, le, pdf
     texel = s.table[k]
     row = texel // W

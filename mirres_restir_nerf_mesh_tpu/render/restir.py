@@ -247,6 +247,17 @@ def initial_resampling(
 
     if rand is not None:
         tile_id, blk_r, us_r, brdf_us = rand
+        if us_r is not None and us_r.shape[0] == 1 + n_brdf_samples:
+            # Pre-drawn us with the packed layout (1 categorical row +
+            # n_brdf stream rows) is only meaningful on the fast path; the
+            # slow path would index us[i] for i < n_light_samples and JAX
+            # would silently clamp, reusing one uniform for every candidate
+            # (correlated RIS, no error raised).
+            assert fast_path, (
+                f"initial_resampling rand= with packed us rows requires the "
+                f"fast path: tile_size {S} % n_light_samples "
+                f"{n_light_samples} must be 0"
+            )
     else:
         blk_r = us_r = brdf_us = None
         tile_id = jax.random.randint(k_tile, (P,), 0, T)
@@ -402,11 +413,16 @@ def initial_resampling(
     )
     W = jnp.where(jnp.isfinite(W), W, 0.0)
     # sel_p threading: with the O(1) sampler the light tiles carry the
-    # NEAREST-texel Le of their quantile texel (generate_light_tiles), the
-    # in-texel jitter never leaves that texel, and the BRDF candidates
-    # already use eval_le_nearest — so sel_p == target_soa(pre, sel_dir,
-    # eval_le_nearest(sel_dir)), exactly the p_curr temporal would
-    # recompute (same pixel ctx, same formula, same Le convention).  Cache
+    # NEAREST-texel Le of their quantile texel (generate_light_tiles, now
+    # pole-cone-zeroed to match eval_le_nearest), the in-texel jitter never
+    # leaves that texel, and the BRDF candidates already use
+    # eval_le_nearest — so sel_p == target_soa(pre, sel_dir,
+    # eval_le_nearest(sel_dir)), the p_curr temporal would recompute (same
+    # pixel ctx, same formula, same Le convention) up to a NEAR-exact
+    # caveat: the uv->dir->uv float roundtrip can flip to the adjacent
+    # texel exactly at texel boundaries (measure-zero set; RIS stays
+    # unbiased because the target only needs to be evaluated consistently
+    # within a pass).  Cache
     # it on the reservoir so the whole reuse chain threads targets with
     # ZERO per-pass re-evaluation.  The legacy EnvDistribution path's tiles
     # are bilinear-Le -> not threadable (p stays None, temporal recomputes,

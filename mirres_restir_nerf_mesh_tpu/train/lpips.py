@@ -69,6 +69,38 @@ def load_weights(path: str) -> Optional[Dict[str, Any]]:
     return {k: jnp.asarray(raw[k]) for k in raw.files}
 
 
+# torchvision VGG16 `features` indices of the 13 conv layers, in order —
+# the official state-dict layout (validated against
+# tests/fixtures/lpips_vgg_manifest.json without the weights file)
+_VGG16_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def convert_state_dicts(
+    vgg_sd: Dict[str, np.ndarray], lin_sd: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Map the official torch state dicts onto this module's param layout
+    (pure numpy; shared by scripts/fetch_lpips_weights.py and the manifest
+    test).  vgg_sd: torchvision `vgg16(pretrained).features.state_dict()`
+    (`features.{i}.weight` OIHW); lin_sd: the lpips package's vgg.pth
+    (`lin{j}.model.1.weight` [1,C,1,1]) — reference nerf/utils.py:600-708
+    evaluates through exactly these two checkpoints."""
+    out: Dict[str, np.ndarray] = {}
+    for i, idx in enumerate(_VGG16_CONV_IDX):
+        w = np.asarray(vgg_sd[f"features.{idx}.weight"], np.float32)  # [O,I,kh,kw]
+        b = np.asarray(vgg_sd[f"features.{idx}.bias"], np.float32)
+        if w.shape[0] != _PLAN[i][0] or w.shape[2:] != (3, 3):
+            raise ValueError(
+                f"features.{idx}.weight has shape {w.shape}, expected "
+                f"[{_PLAN[i][0]}, Cin, 3, 3]"
+            )
+        out[f"conv{i}_w"] = np.transpose(w, (2, 3, 1, 0))             # HWIO
+        out[f"conv{i}_b"] = b
+    for j in range(5):
+        w = np.asarray(lin_sd[f"lin{j}.model.1.weight"], np.float32)
+        out[f"lin{j}_w"] = w.reshape(-1)
+    return out
+
+
 def _features(params: Dict[str, Any], x: jnp.ndarray) -> List[jnp.ndarray]:
     """x [N,H,W,3] in [-1,1] -> list of tapped feature maps."""
     h = (x - _SHIFT[None, None, None]) / _SCALE[None, None, None]

@@ -230,10 +230,27 @@ class Trainer:
             self.workspace, self.name, stage, which
         )
         if p:
-            st, step, _ = ckpt.load_checkpoint(p, self.state)
+            st, step, extra = ckpt.load_checkpoint(p, self.state)
             self.state = jax.tree_util.tree_map(jnp.asarray, st)
             self.global_step = step
             self.log(f"[ckpt] resumed from {p} at step {step}")
+            # escalated tracer budgets survive resume (otherwise a crash
+            # restarts at config defaults and re-pays N strike-steps of
+            # uncertain frames before re-escalating)
+            budgets = extra.get("tracer_budgets")
+            if stage == 1 and budgets and budgets != self._tracer_budgets():
+                import dataclasses
+
+                grown = {
+                    k: max(int(v), getattr(self.static, k))
+                    for k, v in budgets.items()
+                }
+                self.static = dataclasses.replace(self.static, **grown)
+                self.train_step = stage1.make_train_step(
+                    self.cfg, self.static, self.base_verts, self.topo,
+                    mesh=self.mesh,
+                )
+                self.log(f"[ckpt] restored escalated tracer budgets {grown}")
 
     # ------------------------------------------------------------------ train
     def train(
@@ -317,25 +334,36 @@ class Trainer:
                     self.save_checkpoint(best=True)
 
     def _escalate_tracer_budget(self, cap: int = 4096) -> bool:
-        """Grow k_cap / k_cap_incoherent to the next power-of-two bucket and
-        rebuild the stage-1 train step (one recompile, cached thereafter).
-        Returns False when already at cap.  Exactness auto-repair for thin /
+        """Grow candidate budgets to the next power-of-two bucket and rebuild
+        the stage-1 train step (one recompile, cached thereafter).  Returns
+        False when already at cap.  Exactness auto-repair for thin /
         foliage-heavy geometry where the static candidate budget truncates
-        (the reference's stack traversal never does, intersect_test.slang:24)."""
+        (the reference's stack traversal never does, intersect_test.slang:24).
+
+        Staged: the INCOHERENT budgets escalate first — they truncate first
+        (CLAUDE.md r4: the work-queue budget bites on incoherent launches
+        before k_cap does) and oversized coherent queues are pure wasted
+        frame time.  Only when the incoherent pair is already a bucket ahead
+        does a strike also grow the coherent pair."""
         import dataclasses
 
         st = self.static
         if (st.k_cap >= cap and st.k_cap_incoherent >= cap
                 and st.queue_avg >= cap and st.queue_avg_incoherent >= cap):
             return False
+        n_prior = getattr(self, "_n_escalations", 0)
+        self._n_escalations = n_prior + 1
+        grow_coherent = (n_prior % 2 == 1) or (
+            st.k_cap_incoherent >= cap and st.queue_avg_incoherent >= cap
+        )
         self.static = dataclasses.replace(
             st,
-            k_cap=min(st.k_cap * 2, cap),
+            k_cap=min(st.k_cap * 2, cap) if grow_coherent else st.k_cap,
             k_cap_incoherent=min(st.k_cap_incoherent * 2, cap),
             # the work-queue budget truncates before k_cap does (W_cap =
             # tiles * queue_avg, ops/tile_tracer.py _run_queue) — grow it in
             # lockstep or the k_cap bump alone cannot clear the uncertainty
-            queue_avg=min(st.queue_avg * 2, cap),
+            queue_avg=min(st.queue_avg * 2, cap) if grow_coherent else st.queue_avg,
             queue_avg_incoherent=min(st.queue_avg_incoherent * 2, cap),
         )
         self.log(
@@ -351,6 +379,14 @@ class Trainer:
         )
         self._uncertain_strikes = 0
         return True
+
+    def _tracer_budgets(self) -> dict:
+        st = self.static
+        return {
+            "k_cap": st.k_cap, "k_cap_incoherent": st.k_cap_incoherent,
+            "queue_avg": st.queue_avg,
+            "queue_avg_incoherent": st.queue_avg_incoherent,
+        }
 
     def _adapt_num_rays(self, num_points: float) -> bool:
         """Reference adaptive_num_rays (-O, utils.py:1133-1134): grow the ray
@@ -604,7 +640,11 @@ class Trainer:
 
     # ------------------------------------------------------------- checkpoints
     def save_checkpoint(self, best: bool = False) -> None:
+        extra = {}
+        if self.cfg.stage == 1:
+            # persist (possibly escalated) tracer budgets alongside state
+            extra["tracer_budgets"] = self._tracer_budgets()
         ckpt.save_checkpoint(
             self.workspace, self.name, self.cfg.stage, self.global_step,
-            self.state, best=best,
+            self.state, extra=extra, best=best,
         )

@@ -29,32 +29,32 @@ def main() -> None:
     args = ap.parse_args()
 
     import numpy as np
-    import torch
 
     try:
         import lpips as lpips_pkg
+        import torchvision
     except ImportError:
         raise SystemExit("pip install lpips torchvision  (needs internet)")
 
-    model = lpips_pkg.LPIPS(net="vgg")  # downloads VGG16 + lin weights
+    vgg_sd = {
+        k: v.detach().numpy()
+        for k, v in torchvision.models.vgg16(pretrained=True)
+        .features.state_dict().items()
+    }
+    model = lpips_pkg.LPIPS(net="vgg")  # downloads the lin weights
     model.eval()
+    lin_sd = {
+        f"lin{j}.model.1.weight": lin.model[-1].weight.detach().numpy()
+        for j, lin in enumerate(model.lins)
+    }
 
-    out = {}
-    conv_i = 0
-    for layer in model.net.slice1 + model.net.slice2 + model.net.slice3 \
-            + model.net.slice4 + model.net.slice5:
-        if isinstance(layer, torch.nn.Conv2d):
-            w = layer.weight.detach().numpy()          # [O,I,kh,kw]
-            out[f"conv{conv_i}_w"] = np.transpose(w, (2, 3, 1, 0)).astype(np.float32)
-            out[f"conv{conv_i}_b"] = layer.bias.detach().numpy().astype(np.float32)
-            conv_i += 1
-    assert conv_i == 13, f"expected 13 VGG16 convs, got {conv_i}"
+    import os
+    import sys
 
-    for j, lin in enumerate(model.lins):
-        w = lin.model[-1].weight.detach().numpy()      # [1,C,1,1]
-        out[f"lin{j}_w"] = w.reshape(-1).astype(np.float32)
-    assert j == 4
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mirres_restir_nerf_mesh_tpu.train.lpips import convert_state_dicts
 
+    out = convert_state_dicts(vgg_sd, lin_sd)
     np.savez(args.out, **out)
     print(f"wrote {args.out}: {sorted(out)[:4]}... ({len(out)} arrays)")
 

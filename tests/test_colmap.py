@@ -189,6 +189,29 @@ def test_colmap_text_model_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_colmap_text_zero_points_image(tmp_path):
+    """An image with zero POINTS2D has an EMPTY second line; the parser must
+    consume it unconditionally (reference colmap_utils.py:157 readline) —
+    a blank-skipping iterator would swallow it and eat the NEXT image's
+    header as this image's track line (ADVICE r4)."""
+    p = tmp_path / "images.txt"
+    p.write_text(
+        "# comment\n"
+        "1 1.0 0.0 0.0 0.0 0.1 0.2 2.0 1 a.png\n"
+        "\n"  # zero tracked points
+        "2 1.0 0.0 0.0 0.0 0.3 0.4 2.5 1 b.png\n"
+        "1.5 2.5 7 3.5 4.5 -1\n"
+    )
+    images = cm.read_images_text(str(p))
+    assert sorted(images) == [1, 2]
+    assert images[1]["name"] == "a.png"
+    assert images[1]["xys"].shape == (0, 2)
+    assert images[2]["name"] == "b.png"
+    np.testing.assert_allclose(images[2]["tvec"], [0.3, 0.4, 2.5])
+    np.testing.assert_allclose(images[2]["xys"], [[1.5, 2.5], [3.5, 4.5]])
+    np.testing.assert_array_equal(images[2]["point3D_ids"], [7, -1])
+
+
 def test_align_dense_depth_recovers_scale_bias():
     rng = np.random.RandomState(1)
     H, W = 48, 64

@@ -64,11 +64,27 @@ def test_trainer_escalates_tracer_budget_on_persistent_uncertainty(scene, tmp_pa
     tr.train_step = fake_step
     tr.train()
 
-    assert tr.static.k_cap == 2 * k0
+    # staged escalation (ADVICE r4): the INCOHERENT budgets grow first —
+    # they truncate first and oversized coherent queues are pure waste
+    assert tr.static.k_cap == k0
     assert tr.static.k_cap_incoherent == 2 * ki0
     assert tr._uncertain_strikes == 0  # reset after the rebuild
     log = open(tr.log_path).read()
     assert "escalating candidate budgets" in log
+
+    # a SECOND escalation (incoherent now a bucket ahead) grows both pairs
+    assert tr._escalate_tracer_budget() is True
+    assert tr.static.k_cap == 2 * k0
+    assert tr.static.k_cap_incoherent == 4 * ki0
+
+    # escalated budgets persist across checkpoint save/resume (VERDICT r4
+    # item 8): a crash-resume must not restart at config defaults
+    tr.save_checkpoint()
+    tr2 = Trainer("ngp", cfg, data, nerf_spec=SPEC)
+    assert tr2.static.k_cap == 2 * k0
+    assert tr2.static.k_cap_incoherent == 4 * ki0
+    log2 = open(tr2.log_path).read()
+    assert "restored escalated tracer budgets" in log2
 
 
 def test_escalation_caps_out(scene, tmp_path):

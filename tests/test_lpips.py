@@ -106,3 +106,62 @@ def test_vendored_weights_reproduce_torch_lpips(tmp_path):
         d_torch = float(total)
 
     assert abs(d_jax - d_torch) < 1e-3 * max(abs(d_torch), 1.0), (d_jax, d_torch)
+
+
+def test_loader_against_official_manifest():
+    """VERDICT r4 item 7 (mirrors the DPT manifest approach): distill the
+    official torchvision-VGG16 + lpips vgg.pth state-dict layouts (names +
+    shapes) into tests/fixtures/lpips_vgg_manifest.json and validate
+    convert_state_dicts + load_weights against that exact layout without
+    the weights file (zero-egress environment)."""
+    import json
+    import os
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "lpips_vgg_manifest.json")
+    with open(fx) as f:
+        manifest = json.load(f)
+
+    rng = np.random.RandomState(11)
+    vgg_sd = {k: rng.normal(0, 0.05, v).astype(np.float32)
+              for k, v in manifest["vgg16_features"].items()}
+    lin_sd = {k: np.abs(rng.normal(0, 0.1, v)).astype(np.float32)
+              for k, v in manifest["lpips_vgg_pth"].items()}
+
+    params_np = lpips_mod.convert_state_dicts(vgg_sd, lin_sd)
+    # exact key set + shapes of the runtime layout
+    assert sorted(params_np) == sorted(
+        [f"conv{i}_w" for i in range(13)] + [f"conv{i}_b" for i in range(13)]
+        + [f"lin{j}_w" for j in range(5)]
+    )
+    for i, (cout, _) in enumerate(lpips_mod._PLAN):
+        assert params_np[f"conv{i}_w"].shape[3] == cout
+        assert params_np[f"conv{i}_w"].shape[:2] == (3, 3)
+        assert params_np[f"conv{i}_b"].shape == (cout,)
+    for j, c in enumerate([64, 128, 256, 512, 512]):
+        assert params_np[f"lin{j}_w"].shape == (c,)
+
+    # HWIO transpose is the right inverse of torch's OIHW
+    w0 = vgg_sd["features.0.weight"]
+    np.testing.assert_array_equal(
+        params_np["conv0_w"][1, 2, 0, 5], w0[5, 0, 1, 2]
+    )
+
+    # the .npz round-trips through load_weights and drives the full metric
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "lpips_vgg.npz")
+        np.savez(path, **params_np)
+        loaded = lpips_mod.load_weights(path)
+        assert loaded is not None
+        a = np.zeros((32, 32, 3), np.float32)
+        b = np.full((32, 32, 3), 0.5, np.float32)
+        assert float(lpips_mod.lpips_distance(loaded, a, a)) < 1e-6
+        assert float(lpips_mod.lpips_distance(loaded, a, b)) > 0
+
+    # a wrong-shaped official checkpoint is rejected loudly, not silently
+    bad = dict(vgg_sd)
+    bad["features.0.weight"] = bad["features.0.weight"][:32]
+    with pytest.raises(ValueError):
+        lpips_mod.convert_state_dicts(bad, lin_sd)

@@ -293,6 +293,71 @@ def test_masked_apply_mc_key_mode():
     np.testing.assert_allclose(out[exec_dead], expect[exec_dead], atol=0.05)
 
 
+def test_pack_cols_bit_preservation_shard_map():
+    """pack_cols rides int32 columns as f32 bitcasts; many small-int bit
+    patterns are f32 denormals/NaN payloads, so correctness depends on every
+    op touching the carrier (concat/gather/slice, including inside shard_map
+    bodies) staying pure data movement.  Lock that assumption with
+    adversarial patterns through pack -> permute -> chunk-slice -> unpack,
+    plain and under shard_map (ADVICE r4)."""
+    from jax.sharding import PartitionSpec as P_
+    from jax.experimental.shard_map import shard_map
+
+    from mirres_restir_nerf_mesh_tpu.parallel.mesh import make_mesh
+    from mirres_restir_nerf_mesh_tpu.utils.compact import pack_cols, unpack_cols
+
+    P = 64
+    # adversarial int32 patterns: zero, denormal-payload small ints, NaN
+    # boundary 0x7fc00000 +/- 1, signalling-NaN payloads, -1, int min/max
+    patterns = np.array(
+        [0, 1, 2, 0x007FFFFF, 0x00800000, 0x7F800000, 0x7FC00000 - 1,
+         0x7FC00000, 0x7FC00000 + 1, 0x7FFFFFFF, -1, -2, np.int32(-2**31),
+         0x80000001 - 2**32, 0xFFC00000 - 2**32, 42],
+        dtype=np.int64,
+    ).astype(np.int32)
+    ints = jnp.asarray(np.resize(patterns, (P, 2)))
+    bools = jnp.asarray(np.arange(P) % 3 == 0)
+    floats = jnp.asarray(np.linspace(-2.0, 2.0, P * 3).reshape(P, 3).astype(np.float32))
+    args = (ints, bools, floats)
+    perm_np = np.random.RandomState(0).permutation(P).astype(np.int32)
+
+    def roundtrip(ints, bools, floats, perm):
+        packed, specs = pack_cols((ints, bools, floats))
+        packed = packed[perm]
+        # chunk-slice then reconcat, as masked_apply does
+        parts = [packed[i * 16:(i + 1) * 16] for i in range(P // 16)]
+        packed = jnp.concatenate(parts, axis=0)
+        return tuple(unpack_cols(packed, specs))
+
+    out = jax.jit(roundtrip)(*args, jnp.asarray(perm_np))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ints)[perm_np])
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(bools)[perm_np])
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(floats)[perm_np])
+
+    # same under shard_map: per-shard local permutation of a sharded batch
+    mesh = make_mesh((4,), ("data",))
+    local_perm = jnp.asarray(
+        np.random.RandomState(1).permutation(P // 4).astype(np.int32)
+    )
+
+    def body(ints, bools, floats):
+        packed, specs = pack_cols((ints, bools, floats))
+        packed = packed[local_perm]
+        return tuple(unpack_cols(packed, specs))
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P_("data"), P_("data"), P_("data")),
+        out_specs=(P_("data"), P_("data"), P_("data")),
+    )
+    out_s = jax.jit(sharded)(*args)
+    exp = [np.asarray(a).reshape((4, P // 4) + a.shape[1:]) for a in args]
+    exp = [e[:, np.asarray(local_perm)].reshape(a.shape) for e, a in zip(exp, args)]
+    np.testing.assert_array_equal(np.asarray(out_s[0]), exp[0])
+    np.testing.assert_array_equal(np.asarray(out_s[1]), exp[1])
+    np.testing.assert_array_equal(np.asarray(out_s[2]), exp[2])
+
+
 def test_restir_chain_chunk_equivalence(sphere_scene):
     """The live-lane-compacted ReSTIR spp chain (chain_chunked path in
     render_stage1) must reproduce the uncompacted chain exactly: randoms are
