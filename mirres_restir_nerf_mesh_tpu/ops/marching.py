@@ -100,6 +100,14 @@ def _occupancy_at(
     """Occupancy lookup with cascade selection (raymarching.cu:42-54)."""
     C, H = occ.shape[0], occ.shape[1]
     pts = jnp.clip(pts, -bound, bound)
+    if C == 1:
+        # single-cascade fast path: level is identically 0 (both mip
+        # selectors clip to C-1), so the per-candidate log2/ceil level math
+        # — ~10 ms on an 8192x1024 lattice — drops out exactly
+        mip_bound = min(1.0, bound)
+        g = jnp.clip(((pts / mip_bound) * 0.5 + 0.5) * H, 0, H - 1).astype(jnp.int32)
+        flat = (g[..., 0] * H + g[..., 1]) * H + g[..., 2]
+        return jnp.take(occ.reshape(-1), flat.reshape(-1), axis=0).reshape(flat.shape) > 0
     mag = jnp.max(jnp.abs(pts), axis=-1)
 
     # mip_from_pos: smallest level whose bound 2^l contains the point
@@ -130,15 +138,25 @@ def march_rays(
     dt_gamma: float = 0.0,
     perturb_key: Optional[jax.Array] = None,
     contract: bool = False,
+    n_candidates: Optional[int] = None,
 ) -> MarchResult:
     """March N rays through the occupancy grid into a fixed [N, K] sample set.
 
     Candidates beyond `far` or in unoccupied cells are masked; occupied
     candidates are compacted to the front with per-ray uniform striding when
     their count exceeds K.
-    """
+
+    `n_candidates` caps the candidate-lattice length S below max_steps
+    WITHOUT changing the dt schedule (dt_min stays 2*sqrt(3)/max_steps).
+    Candidates at t >= far are masked anyway, so any n_candidates >=
+    ceil(max_ray_span / dt_min) + 1 is EXACT — callers that know the scene's
+    maximum [near, far) span (see train/stage0.py march_candidates_for) use
+    this to skip the ~60% of occupancy gathers a camera outside the AABB
+    wastes on beyond-far lattice slots (the dominant stage-0 cost on TPU:
+    the reference CUDA marcher terminates its per-ray while loop at `far`,
+    raymarching.cu:338-498, so it never pays these)."""
     N = rays_o.shape[0]
-    S = max_steps
+    S = max_steps if n_candidates is None else min(n_candidates, max_steps)
     K = min(K, S)  # can't emit more samples than lattice candidates
     H = occ.shape[1]
     dt_min = 2.0 * SQRT3 / max_steps
@@ -164,18 +182,30 @@ def march_rays(
     rank = jnp.cumsum(mask, axis=-1) - 1                # occupied rank per candidate
     sel = mask & (rank % stride[:, None] == 0)
 
-    steps_iota = jax.lax.broadcasted_iota(jnp.int32, (N, S), 1)
-    keys = jnp.where(sel, steps_iota, S + 1)            # selected first, in order
-    neg_top, pos = jax.lax.top_k(-keys, K)              # positions of first K selected
-    pos = jnp.clip(pos, 0, S - 1)
-    # top_k(-keys) returns ascending keys (selected candidates front-to-back)
-    valid = jnp.take_along_axis(sel, pos, axis=1)
+    # extract the <= K selected candidates per ray (front-to-back) with an
+    # MXU one-hot contraction instead of top_k + take_along_axis: stride
+    # selection guarantees ceil(n_occ/stride) <= K selected, so the one-hot
+    # over the selected-rank has at most one nonzero per (ray, k) output —
+    # the contraction is EXACT in any precision mode and replaces a [N,S]
+    # row sort + two minor-dim gathers (~16 ms at 8192x909 on v5e) with a
+    # ~1 GFLOP matmul the MXU does for free.
+    rank_sel = jnp.cumsum(sel, axis=-1) - 1             # rank among selected
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (N, S, K), 2)
+    W = ((rank_sel[..., None] == k_iota) & sel[..., None]).astype(jnp.float32)
+    vals = [ts, jnp.ones_like(ts)]
+    if dt_gamma != 0.0:
+        vals.append(dts)
+    out = jnp.einsum(
+        "nsk,nsv->nkv", W, jnp.stack(vals, axis=-1),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ts_out = out[..., 0]
+    valid = out[..., 1] > 0.5
     validf = valid.astype(ts.dtype)
-    ts_out = jnp.take_along_axis(ts, pos, axis=1) * validf
 
     dts_out = (dts[:, :1] * stride[:, None].astype(dts.dtype)) * validf
     if dt_gamma != 0.0:
-        dts_out = jnp.take_along_axis(dts, pos, axis=1) * stride[:, None].astype(dts.dtype) * validf
+        dts_out = out[..., 2] * stride[:, None].astype(dts.dtype) * validf
 
     xyzs = rays_o[:, None, :] + rays_d[:, None, :] * ts_out[..., None]
     xyzs = jnp.clip(xyzs, -bound, bound)

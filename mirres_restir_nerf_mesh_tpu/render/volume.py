@@ -40,6 +40,7 @@ def render_rays(
     stochastic_key: Optional[jax.Array] = None,
     compact_points: Optional[int] = None,
     field_chunk: Optional[int] = None,
+    march_candidates: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render N rays. Returns image [N,3], depth [N], weights_sum [N], plus
     training extras (weights, xyzs, valid, sigmas, normals in sdf mode)."""
@@ -52,6 +53,7 @@ def render_rays(
         rays_o, rays_d, occ, nears, fars,
         bound=spec.bound, K=K, max_steps=max_steps, dt_gamma=dt_gamma,
         perturb_key=perturb_key, contract=contract,
+        n_candidates=march_candidates,
     )
 
     N, Kk = m.ts.shape

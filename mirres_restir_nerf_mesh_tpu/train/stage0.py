@@ -14,6 +14,7 @@ when jitted with sharded inputs (see parallel/mesh.py).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -74,6 +75,53 @@ def _aabb(cfg: Config) -> jnp.ndarray:
     return jnp.array([-b, -b, -b, b, b, b], jnp.float32)
 
 
+def march_candidates_for(cfg: Config, sampler) -> Optional[int]:
+    """EXACT span-adaptive candidate-lattice length (ops/marching.py
+    march_rays n_candidates): the maximum [near, far) span over every
+    training ray bounds how many dt_min lattice slots can ever be live —
+    beyond-far candidates are masked, so S = ceil(span/dt_min) + 2 skips
+    their occupancy gathers for free.  For cameras outside the AABB that is
+    ~60% of the lattice (measured on v5e: march 110 -> 72 ms at S 1024 ->
+    512, scripts/profile_stage0.py).  The reference CUDA marcher's while
+    loop simply terminates at `far` (raymarching.cu:338-498).
+
+    The dt_max margin covers the perturb shift (t0 <= near + dt_max,
+    _candidate_ts) and dt >= dt_min holds for any dt_gamma, so the bound is
+    safe for geometric schedules too.  Returns None when the scan cannot
+    bound the span below max_steps."""
+    import numpy as np
+
+    data = getattr(sampler, "data", None)
+    if data is None:
+        return None
+    aabb = np.asarray(
+        cfg.scene_aabb
+        if cfg.scene_aabb is not None
+        else [-cfg.bound, -cfg.bound, -cfg.bound, cfg.bound, cfg.bound, cfg.bound],
+        np.float32,
+    )
+    dt_min = 2.0 * math.sqrt(3.0) / cfg.max_steps
+    span = 0.0
+    for i in range(data.num_frames):
+        f = sampler.frame_rays(i)
+        ro = np.asarray(f["rays_o"], np.float32)
+        rd = np.asarray(f["rays_d"], np.float32)
+        inv = 1.0 / np.where(np.abs(rd) < 1e-15, 1e-15, rd)
+        t0 = (aabb[None, 0:3] - ro) * inv
+        t1 = (aabb[None, 3:6] - ro) * inv
+        tmin = np.minimum(t0, t1).max(axis=-1)
+        tmax = np.maximum(t0, t1).min(axis=-1)
+        near = np.maximum(tmin, cfg.min_near)
+        hit = (tmax >= tmin) & (tmax >= cfg.min_near)
+        if hit.any():
+            span = max(span, float((tmax - near)[hit].max()))
+    if span <= 0.0:
+        return None
+    dt_max = 2.0 * math.sqrt(3.0) * cfg.bound / cfg.grid_size
+    s = int(math.ceil((span + dt_max) / dt_min)) + 1
+    return s if s < cfg.max_steps else None
+
+
 def stage0_loss(
     params: Any,
     occ: jnp.ndarray,
@@ -82,6 +130,7 @@ def stage0_loss(
     cfg: Config,
     spec: nerf_model.NeRFSpec,
     step: jnp.ndarray,
+    march_candidates: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     max_level = None
     if cfg.progressive_level:
@@ -99,6 +148,7 @@ def stage0_loss(
         min_near=cfg.min_near, bg_color=batch["bg_color"], perturb_key=k_perturb,
         contract=cfg.contract, max_level=max_level, cos_anneal_ratio=cos_anneal,
         cam_near_far=batch.get("cam_near_far"),
+        march_candidates=march_candidates,
         stochastic_key=k_stoch if cfg.stochastic_interp else None,
         # adaptive_num_rays (-O): the reference adapts the ray count to a
         # num_points budget (utils.py:1133-1134); with static shapes the same
@@ -155,6 +205,8 @@ def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler, mesh=None):
     XLA-inserted grad psum — the TPU equivalent of the reference's DDP,
     nerf/utils.py:761-764)."""
     opt = make_optimizer(cfg)
+    # exact span-adaptive candidate lattice (one host-side scan per build)
+    n_march = march_candidates_for(cfg, sampler)
 
     @jax.jit
     def train_step(state: TrainState, key: jax.Array):
@@ -172,7 +224,8 @@ def make_train_step(cfg: Config, spec: nerf_model.NeRFSpec, sampler, mesh=None):
             )
 
         grads, aux = jax.grad(stage0_loss, has_aux=True)(
-            state.params, state.occ.occ, batch, k_perturb, cfg, spec, state.step
+            state.params, state.occ.occ, batch, k_perturb, cfg, spec, state.step,
+            march_candidates=n_march,
         )
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

