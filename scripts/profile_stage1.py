@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--bounces", type=int, default=2)
     ap.add_argument("--tris", type=int, default=100_000)
+    ap.add_argument("--radius", type=float, default=1.3,
+                    help="camera radius (1.3 = bench's ~45%% coverage "
+                         "lego-like framing; r1-r4 profiles used the old "
+                         "~17%% framing, radius 2.0)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ablate", action="store_true",
                     help="re-time under single-knob config changes")
@@ -73,7 +77,8 @@ def main() -> None:
     verts, tris = decimate(verts, tris, args.tris)
 
     H = W = args.hw
-    data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=1.0)
+    data = make_synthetic_dataset(n_frames=1, H=H, W=W, bound=1.0,
+                                  radius=args.radius)
     f = RayDataset(data, bound=1.0).frame_rays(0)
     key = jax.random.PRNGKey(0)
     nerf_spec = NeRFSpec(bound=1.0, compute_dtype=jnp.bfloat16)

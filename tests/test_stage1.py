@@ -335,9 +335,11 @@ def test_pack_cols_bit_preservation_shard_map():
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(floats)[perm_np])
 
     # same under shard_map: per-shard local permutation of a sharded batch
-    mesh = make_mesh((4,), ("data",))
+    ndev = jax.device_count()
+    assert P % ndev == 0
+    mesh = make_mesh((ndev,), ("data",))
     local_perm = jnp.asarray(
-        np.random.RandomState(1).permutation(P // 4).astype(np.int32)
+        np.random.RandomState(1).permutation(P // ndev).astype(np.int32)
     )
 
     def body(ints, bools, floats):
@@ -351,7 +353,7 @@ def test_pack_cols_bit_preservation_shard_map():
         out_specs=(P_("data"), P_("data"), P_("data")),
     )
     out_s = jax.jit(sharded)(*args)
-    exp = [np.asarray(a).reshape((4, P // 4) + a.shape[1:]) for a in args]
+    exp = [np.asarray(a).reshape((ndev, P // ndev) + a.shape[1:]) for a in args]
     exp = [e[:, np.asarray(local_perm)].reshape(a.shape) for e, a in zip(exp, args)]
     np.testing.assert_array_equal(np.asarray(out_s[0]), exp[0])
     np.testing.assert_array_equal(np.asarray(out_s[1]), exp[1])
