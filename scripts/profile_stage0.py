@@ -85,6 +85,38 @@ def main() -> None:
               flush=True)
         return per
 
+    def run_threaded(name, make_fn):
+        """make_fn() -> (step(st, k) -> (st', loss), st0). Threads the train
+        state through the fori_loop carry so the backward and optimizer
+        update stay LIVE.  (The old full-step rows returned only aux['loss']
+        from a discarded new state — XLA DCEd the entire bwd+opt, which is
+        how the r4 '8.26 it/s' figure overstated the honest 4.8 it/s step.)"""
+        if only and not any(s in name for s in only):
+            return
+        step, st0 = make_fn()
+
+        @jax.jit
+        def looped(st, key):
+            def body(i, carry):
+                st, _ = carry
+                return step(st, jax.random.fold_in(key, i))
+
+            return jax.lax.fori_loop(0, args.loop, body, (st, jnp.zeros(())))
+
+        key = jax.random.PRNGKey(0)
+        st, loss = looped(st0, key)
+        float(loss)  # compile + settle
+        ts = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            st, loss = looped(st, jax.random.fold_in(key, 100 + i))
+            float(loss)
+            ts.append(time.perf_counter() - t0)
+        per = (min(ts) - 0.029) / args.loop * 1e3
+        print(f"{name:46s} {per:9.2f} ms/step  ({1e3 / per:6.2f} it/s)",
+              flush=True)
+        return per
+
     def make_cfg(**over):
         kw = dict(
             bound=1.0, num_rays=args.rays, samples_per_ray=args.k,
@@ -113,11 +145,11 @@ def main() -> None:
         step_fn = stage0.make_train_step(c, spec, sampler)
 
         def make():
-            def fn(k):
-                _, aux = step_fn(st, k)
-                return aux["loss"]
+            def step(s, k):
+                s2, aux = step_fn(s, k)
+                return s2, aux["loss"]
 
-            return fn
+            return step, st
 
         return make
 
@@ -127,20 +159,23 @@ def main() -> None:
     print(f"valid march samples per step: {int(aux0['num_points'])} "
           f"(capacity {args.points})", flush=True)
 
-    run("full step", full_step())
+    run_threaded("full step", full_step())
 
     if not args.ablate and not only:
         print("DONE", flush=True)
         return
 
     # --- forward-only loss (isolates backward+opt) ---
-    def fwd_only():
+    def fwd_only(c=None):
+        c = c or cfg
+
         def make():
             def fn(k):
                 loss, _ = stage0.stage0_loss(
                     state0.params, state0.occ.occ,
-                    sampler.sample(jax.random.fold_in(k, 0), cfg.num_rays),
-                    jax.random.fold_in(k, 1), cfg, spec, state0.step,
+                    sampler.sample(jax.random.fold_in(k, 0), c.num_rays),
+                    jax.random.fold_in(k, 1), c, spec, state0.step,
+                    march_candidates=stage0.march_candidates_for(c, sampler),
                 )
                 return loss
 
@@ -149,32 +184,43 @@ def main() -> None:
         return make
 
     run("fwd loss only", fwd_only())
+    run("fwd loss only adaptive (-O)", fwd_only(make_cfg(adaptive_num_rays=True)))
 
     # --- grad only (isolates optimizer/EMA) ---
-    def grad_only():
+    def grad_only(c=None):
+        c = c or cfg
+
         def make():
             def fn(k):
                 g, aux = jax.grad(stage0.stage0_loss, has_aux=True)(
                     state0.params, state0.occ.occ,
-                    sampler.sample(jax.random.fold_in(k, 0), cfg.num_rays),
-                    jax.random.fold_in(k, 1), cfg, spec, state0.step,
+                    sampler.sample(jax.random.fold_in(k, 0), c.num_rays),
+                    jax.random.fold_in(k, 1), c, spec, state0.step,
+                    march_candidates=stage0.march_candidates_for(c, sampler),
                 )
-                return aux["loss"] + jnp.sum(g["sigma_net"][0] ** 2)
+                # consume EVERY grad leaf so no part of the backward DCEs
+                # (reduces are HBM-read-priced, < 1 ms total)
+                gsum = sum(jnp.sum(x.astype(jnp.float32))
+                           for x in jax.tree_util.tree_leaves(g))
+                return aux["loss"] + gsum
 
             return fn
 
         return make
 
     run("fwd+bwd only (no opt)", grad_only())
+    run("fwd+bwd only adaptive (-O)", grad_only(make_cfg(adaptive_num_rays=True)))
+    run("fwd+bwd adaptive no-TV", grad_only(make_cfg(adaptive_num_rays=True,
+                                                     lambda_tv=0.0)))
 
     # --- config single-knobs on the full step ---
-    run("no TV loss", full_step(make_cfg(lambda_tv=0.0)))
-    run("capacity 2^17", full_step(make_cfg(num_points=2 ** 17)))
-    run("capacity 2^16", full_step(make_cfg(num_points=2 ** 16)))
-    run("capacity 2^15", full_step(make_cfg(num_points=2 ** 15)))
-    run("max_steps 512", full_step(make_cfg(max_steps=512)))
-    run("max_steps 256", full_step(make_cfg(max_steps=256)))
-    run("rays 4096", full_step(make_cfg(num_rays=4096)))
+    run_threaded("no TV loss", full_step(make_cfg(lambda_tv=0.0)))
+    run_threaded("capacity 2^17", full_step(make_cfg(num_points=2 ** 17)))
+    run_threaded("capacity 2^16", full_step(make_cfg(num_points=2 ** 16)))
+    run_threaded("capacity 2^15", full_step(make_cfg(num_points=2 ** 15)))
+    run_threaded("max_steps 512", full_step(make_cfg(max_steps=512)))
+    run_threaded("max_steps 256", full_step(make_cfg(max_steps=256)))
+    run_threaded("rays 4096", full_step(make_cfg(num_rays=4096)))
 
     # --- block isolates ---
     from mirres_restir_nerf_mesh_tpu.ops.marching import (
@@ -233,9 +279,9 @@ def main() -> None:
 
     # reference -O operating point: adaptive_num_rays -> cross-ray compaction
     # (stage0_loss compact_points engages ONLY with this flag)
-    run("full step adaptive (-O compaction)",
+    run_threaded("full step adaptive (-O compaction)",
         full_step(make_cfg(adaptive_num_rays=True)))
-    run("full step adaptive cap 2^17",
+    run_threaded("full step adaptive cap 2^17",
         full_step(make_cfg(adaptive_num_rays=True, num_points=2 ** 17)))
 
     # --- field eval at M points (the compacted workload) ---

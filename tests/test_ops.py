@@ -156,3 +156,37 @@ def test_march_rays_stride_subsamples_long_rays():
     assert ts.max() > 2.5  # reaches deep into the box (near=1, far=3)
     # dt scaled by stride so opacity integrates over the skipped space
     assert float(res.dts[0, 0]) > 2 * 3.4641 / 512
+
+
+def test_supercell_occupancy_matches_direct_gather():
+    """The supercell-bitmask march occupancy path (_occupancy_march_sc:
+    one wide row gather per supercell crossing + MXU one-hot selection) is
+    bitwise-exact against the direct per-candidate gather (_occupancy_at)
+    on random occupancy, mixed-norm ray dirs, and both dt schedules."""
+    from mirres_restir_nerf_mesh_tpu.ops.marching import (
+        SQRT3,
+        _candidate_ts,
+        _occupancy_at,
+        _occupancy_march_sc,
+    )
+
+    rng = np.random.RandomState(0)
+    cases = [(128, 64, 211, 0.0), (64, 32, 97, 0.0), (128, 48, 257, 1 / 128)]
+    for H, N, S, dt_gamma in cases:
+        occ = (rng.rand(1, H, H, H) < 0.4).astype(np.uint8)
+        ro = rng.uniform(-2, 2, (N, 3)).astype(np.float32)
+        rd = rng.randn(N, 3).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+        rd[::3] *= rng.uniform(0.5, 2.0, (len(rd[::3]), 1))  # unnormalized too
+        aabb = jnp.array([-1.0, -1, -1, 1, 1, 1], jnp.float32)
+        nears, fars = near_far_from_aabb(jnp.asarray(ro), jnp.asarray(rd), aabb)
+        noise = jnp.asarray(rng.rand(N).astype(np.float32))
+        ts, dts = _candidate_ts(
+            nears, S, 2 * SQRT3 / 1024, 2 * SQRT3 / H, dt_gamma, noise
+        )
+        pts = jnp.asarray(ro)[:, None, :] + jnp.asarray(rd)[:, None, :] * ts[..., None]
+        ref = np.asarray(_occupancy_at(jnp.asarray(occ), pts, dts, 1.0))
+        pc = jnp.clip(pts, -1.0, 1.0)
+        g = jnp.clip((pc * 0.5 + 0.5) * H, 0, H - 1).astype(jnp.int32)
+        got = np.asarray(_occupancy_march_sc(jnp.asarray(occ[0]), g))
+        np.testing.assert_array_equal(ref, got)
