@@ -68,6 +68,7 @@ tick();
 
 # set by main() so the viewer test can watch training progress in-process
 _TRAINER_FOR_TEST = None
+_SERVER_FOR_TEST = None
 
 
 def main(argv=None) -> None:
@@ -259,7 +260,11 @@ def main(argv=None) -> None:
             self.end_headers()
 
     print(f"[viewer] http://localhost:{args.port}  (first render compiles; be patient)")
-    ThreadingHTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
+    global _SERVER_FOR_TEST
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    _SERVER_FOR_TEST = srv  # tests call .shutdown() so no server thread
+    srv.serve_forever()     # outlives the test (r5: a leaked thread rode
+    srv.server_close()      # alongside a later test's compile-cache write)
 
 
 if __name__ == "__main__":

@@ -168,6 +168,7 @@ def main() -> None:
     # --- forward-only loss (isolates backward+opt) ---
     def fwd_only(c=None):
         c = c or cfg
+        n_march = stage0.march_candidates_for(c, sampler)  # static; not traceable
 
         def make():
             def fn(k):
@@ -175,7 +176,7 @@ def main() -> None:
                     state0.params, state0.occ.occ,
                     sampler.sample(jax.random.fold_in(k, 0), c.num_rays),
                     jax.random.fold_in(k, 1), c, spec, state0.step,
-                    march_candidates=stage0.march_candidates_for(c, sampler),
+                    march_candidates=n_march,
                 )
                 return loss
 

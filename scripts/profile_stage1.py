@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ablate", action="store_true",
                     help="re-time under single-knob config changes")
+    ap.add_argument("--trainstep", action="store_true",
+                    help="backward attribution: time the full train step "
+                         "and loss-family ablations at the exact budgets")
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated substrings: run only matching ablations "
                          "(the full-frame baseline always runs for delta attribution)")
@@ -220,6 +223,58 @@ def main() -> None:
         frame("s32:bounces 0", spp=32, bounces=0, **EX)
         frame("s32:no denoise", spp=32, denoise_iters=0, **EX)
         frame("s32:no_field", spp=32, ablate="no_field", **EX)
+
+    if args.trainstep:
+        # backward attribution (VERDICT r4 next #1): time the full jitted
+        # train step (fwd+bwd+3-group opt, the bench headline) against the
+        # matching forward frame; the delta is the live backward + optimizer.
+        from mirres_restir_nerf_mesh_tpu.config import Config, finalize
+        from mirres_restir_nerf_mesh_tpu.train import stage1 as stage1_train
+        from mirres_restir_nerf_mesh_tpu.train.losses import build_topology
+
+        EX = dict(k_cap=640, queue_avg=256, k_cap_incoherent=640)
+        topo = build_topology(np.asarray(tris), verts.shape[0])
+
+        def trainstep(name, spp=args.spp, **cfg_over):
+            if only and not any(s in name for s in only):
+                return
+            static = Stage1Static(**{**base, **EX, "spp": spp})
+            kw = dict(bound=1.0, stage=1, iters=7500, use_brdf=True,
+                      use_restir=True, spp=spp, pt_bounces=args.bounces,
+                      env_h=eh, env_w=ew, ssaa=1, lambda_tv=0.0)
+            kw.update(cfg_over)
+            cfg = finalize(Config(**kw))
+            st = stage1_train.init_state(
+                jax.random.fold_in(key, 11), cfg, static, params.nerf,
+                verts.shape[0])
+            st = st._replace(params=st.params._replace(env=params.env))
+            step = stage1_train.make_train_step(cfg, static, verts, topo)
+            batch = {"rays_o": f["rays_o"], "rays_d": f["rays_d"],
+                     "pixels": f["pixels"], "alpha": f["alpha"]}
+            st, aux = step(st, batch, jax.random.fold_in(key, 12))
+            float(aux["loss"])  # compile + settle
+            ts = []
+            for i in range(args.iters):
+                t0 = time.perf_counter()
+                st, aux = step(st, batch, jax.random.fold_in(key, 20 + i))
+                float(aux["loss"])
+                ts.append(time.perf_counter() - t0)
+            print(f"{name:44s} {min(ts) * 1e3:8.1f} ms   "
+                  f"uncertain {float(aux['uncertain_count']):.0f}", flush=True)
+
+        frame("ts-ref: fwd frame (exact budgets)", **EX)
+        trainstep("ts: full train step")
+        trainstep("ts: no mesh-reg losses", lambda_lap=0.0, lambda_normal=0.0,
+                  lambda_edgelen=0.0, lambda_offsets=0.0)
+        trainstep("ts: no shading/material losses", lambda_brdf_diffuse=0.0,
+                  lambda_brdf_specular=0.0, lambda_kd=0.0, lambda_ks=0.0,
+                  lambda_nrm=0.0, lambda_chroma=0.0, lambda_extra_kd=0.0)
+        trainstep("ts: nerf-rgb loss only", lambda_rgb_brdf=0.0,
+                  lambda_mask=0.0, lambda_brdf_diffuse=0.0,
+                  lambda_brdf_specular=0.0, lambda_kd=0.0, lambda_ks=0.0,
+                  lambda_nrm=0.0, lambda_chroma=0.0, lambda_extra_kd=0.0,
+                  lambda_lap=0.0, lambda_normal=0.0, lambda_edgelen=0.0,
+                  lambda_offsets=0.0)
     print("DONE", flush=True)
 
 

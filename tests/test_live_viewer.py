@@ -61,3 +61,15 @@ def test_viewer_train_mode_serves_live_renders(tmp_path):
     while tr.global_step <= s0 and time.time() < deadline:
         time.sleep(1.0)
     assert tr.global_step > s0, "training thread made no progress"
+
+    # tear the server down so no thread outlives this test: a leaked
+    # serve_forever thread rode alongside a later test's compile-cache
+    # write in the r5 full-suite run that segfaulted (tests must leave the
+    # process single-threaded), and wait out the 120-iter training thread
+    # rather than leaving it compiling/stepping under later tests
+    deadline = time.time() + 300
+    while tr.global_step < 120 and time.time() < deadline:
+        time.sleep(1.0)
+    srv = live_viewer._SERVER_FOR_TEST
+    if srv is not None:
+        srv.shutdown()
